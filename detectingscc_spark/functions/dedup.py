@@ -1,0 +1,165 @@
+"""Deduplication operators for training-data pipelines.
+
+  exact_dedup      sha256 hash-groupBy; canonical keeper = min doc_id
+  minhash_lsh      k-permutation MinHash over stride-shingles + banded LSH
+                   self-join -> candidate near-dup pairs. Hash family =
+                   sha256(salt || shingle) so the EXACT same signature is
+                   reproducible in any engine with sha256 (DuckDB oracle).
+  simhash          64-bit SimHash over tokens, Arrow-vectorized numpy
+                   (bit-parallel; Spark-only semantics, rows-only check)
+  ngram_jaccard    exact character-3-gram Jaccard for candidate pairs,
+                   blocked by `source` to bound the pair space
+  embedding_dups   cosine > threshold pairs over embeddings, blocked by
+                   `label` (the coarse-cluster blocking key)
+
+Scale notes: LSH banding is the 100 TB path — the self-join key is
+(band_idx, band_hash), so shuffle volume is O(docs x bands) not O(docs^2);
+AQE skew-join handles hot buckets. Exact Jaccard / cosine verification
+runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, content_sha, keep) — keep = doc is the min-id member of its
+    exact-duplicate group."""
+    h = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha"))
+    keeper = h.groupBy("content_sha").agg(F.min("doc_id").alias("keeper"))
+    return (
+        h.join(keeper, "content_sha")
+        .select("doc_id", "content_sha", (F.col("doc_id") == F.col("keeper")).alias("keep"))
+    )
+
+
+def _shingle_expr(shingle: int, stride: int) -> str:
+    return (
+        f"transform(sequence(1, greatest(1, length(text) - {shingle - 1}), {stride}),"
+        f" i -> substring(text, i, {shingle}))"
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, shingle: int = 8, stride: int = 4) -> DataFrame:
+    """(doc_id, sig: array<string>) — sig[h] = min over shingles of
+    sha256('h<h>|' || shingle). Pure built-ins, codegen'd."""
+    cols = [
+        F.expr(
+            f"array_min(transform({_shingle_expr(shingle, stride)},"
+            f" s -> sha2(concat('h{h}|', s), 256)))"
+        ).alias(f"mh{h}")
+        for h in range(num_hashes)
+    ]
+    sig = docs.select("doc_id", *cols)
+    return sig.select("doc_id", F.array(*[F.col(f"mh{h}") for h in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4, shingle: int = 8, stride: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-duplicate pairs: docs sharing at least
+    one LSH band (band hash = sha256 of the band's concatenated minima)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, shingle, stride)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> struct(b as band, sha2(array_join(slice(sig, b*{rows_per_band}+1, {rows_per_band}), '|'), 256) as bh))"
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    a = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").alias("doc_a"))
+    b = banded.select(F.col("band"), F.col("bh"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash: long) — token-level SimHash, numpy bit-parallel
+    inside mapInPandas (Arrow batches; no per-row Python loops beyond the
+    unavoidable tokenization split)."""
+    import numpy as np
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids = pdf["doc_id"].values
+            hashes = []
+            for text in pdf["text"].values:
+                toks = text.split()
+                if not toks:
+                    hashes.append(0)
+                    continue
+                hv = np.array(
+                    [hash(t) & 0xFFFFFFFFFFFFFFFF for t in toks], dtype=np.uint64
+                )
+                bits_m = ((hv[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
+                votes = (2 * bits_m - 1).sum(axis=0)
+                sh = np.uint64(0)
+                sh = int(((votes > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum())
+                hashes.append(sh - (1 << 63))  # to signed long
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": pd.array(hashes, dtype="int64")})
+
+    return docs.select("doc_id", "text").mapInPandas(compute, schema="doc_id long, simhash long")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.0) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for same-`source` pairs: exact character
+    n-gram Jaccard, computed via explode + join (distributed set ops)."""
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(f"array_distinct(transform(sequence(1, greatest(1, length(text)-{n - 1})), i -> substring(text, i, {n})))")
+        ).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ga = grams.select(F.col("source"), F.col("g"), F.col("doc_id").alias("doc_a"))
+    gb = grams.select(F.col("source"), F.col("g"), F.col("doc_id").alias("doc_b"))
+    inter = (
+        ga.join(gb, ["source", "g"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """(vec_a, vec_b, cos) near-duplicate embedding pairs with cosine >=
+    threshold, blocked by `label` (at scale: LSH/IVF bucketing replaces the
+    label block — see similarity.lsh_buckets)."""
+    withn = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("norm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)))
+    a = withn.select(F.col("label"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = withn.select(F.col("label"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    pairs = a.join(b, "label").where(F.col("vec_a") < F.col("vec_b"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        pairs.select("vec_a", "vec_b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,87 @@
+"""Text-analysis operators for training-data pipelines over
+documents(doc_id, text, lang, source, n_chars).
+
+All hot-path expressions are Spark built-ins (whole-stage codegen); the
+arithmetic is deliberately chosen to be reproducible verbatim in ANSI SQL
+so every operator has a DuckDB oracle (see __spark_entry__.oracle_sql).
+
+Conventions (documented because they ARE the semantics):
+  * token count   = spaces + 1 (single-space-separated corpora)
+  * stopword hits = non-overlapping occurrences counted via
+                    length-difference arithmetic
+  * fingerprint   = min over stride-4 8-char shingles of sha256(shingle)
+                    (one-hash MinHash; the k-hash version lives in
+                    dedup.py)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "and", "data", "query", "table")
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of `needle` via length-diff
+    arithmetic — identical semantics in any SQL engine."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def token_count(col: Column) -> Column:
+    return (F.length(col) - F.length(F.replace(col, F.lit(" "), F.lit(""))) + 1).cast("long")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len, stop_hits, quality)"""
+    text = F.col("text")
+    ntok = token_count(text)
+    stop = sum(occurrences(text, f" {w} ") for w in STOPWORDS).cast("long")
+    nchars = F.length(text).cast("long")
+    avg_tok = F.round(nchars / ntok, 4)
+    quality = F.round(
+        F.least(F.lit(1.0), ntok / F.lit(50.0)) * F.lit(0.5)
+        + F.least(F.lit(1.0), stop / F.lit(10.0)) * F.lit(0.5),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        nchars.alias("n_chars"),
+        ntok.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        stop.alias("stop_hits"),
+        quality.alias("quality"),
+    )
+
+
+LANG_MARKERS = {
+    "en": (" the ", " and "),
+    "dataish": (" data ", " table "),
+    "sparkish": (" spark ", " batch "),
+}
+
+
+def lang_guess(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_guess) — n-gram-marker heuristic with deterministic
+    CASE tie-break (first marker class wins on ties)."""
+    text = F.col("text")
+    scores = {k: sum(occurrences(text, m) for m in ms) for k, ms in LANG_MARKERS.items()}
+    s_en, s_da, s_sp = scores["en"], scores["dataish"], scores["sparkish"]
+    guess = (
+        F.when((s_en >= s_da) & (s_en >= s_sp), F.lit("en"))
+        .when(s_da >= s_sp, F.lit("dataish"))
+        .otherwise(F.lit("sparkish"))
+    )
+    return docs.select("doc_id", guess.alias("lang_guess"))
+
+
+def fingerprint(docs: DataFrame, shingle: int = 8, stride: int = 4) -> DataFrame:
+    """(doc_id, fp) — rolling-shingle document fingerprint: min sha256 over
+    stride-spaced substrings. Short docs fall back to whole-text hash."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"array_min(transform(sequence(1, greatest(1, length(text) - {shingle - 1}), {stride}),"
+            f" i -> sha2(substring(text, i, {shingle}), 256)))"
+        ).alias("fp"),
+    )

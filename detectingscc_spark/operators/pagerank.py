@@ -1,0 +1,95 @@
+"""PageRank as iterative DataFrame supersteps (north_rule companion
+algorithm; absent from the reference — SURVEY.md §2.11).
+
+rank_{t+1}(v) = (1-d)/N + d * (Σ_{u→v} rank_t(u)/outdeg(u) + dangling_t/N)
+
+Dangling mass (vertices with outdeg 0) is redistributed uniformly, so
+Σ rank = 1 at every step. Converges to allclose(1e-6) vs a dense numpy
+power-iteration oracle (tests/test_pagerank.py).
+
+Scale notes: `contrib` is the one shuffle per iteration (groupBy dst);
+edges are pre-partitioned by src and carry out_deg folded in so each
+iteration joins rank (N rows) once with edges and aggregates. Dangling
+mass is a scalar agg. Lineage truncated per iteration via the runner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.superstep import SuperstepRunner
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    *,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iters: int = 100,
+    fixed_iters: int | None = None,
+    runner: SuperstepRunner | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Return (id: long, rank: double). Duplicate edges count once
+    (graph semantics follow the SCC engine: dedup, keep self-loops out)."""
+    runner = runner or SuperstepRunner(spark, checkpoint_dir=checkpoint_dir, run_id="pagerank")
+    E = (
+        edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    verts = E.select(F.col("src").alias("id")).union(E.select(F.col("dst").alias("id"))).distinct()
+    if vertices is not None:
+        verts = verts.union(vertices.select(F.col("id").cast("long"))).distinct()
+    verts, n = runner.tick("verts", verts)
+
+    outdeg = E.groupBy("src").count().select(F.col("src").alias("id"), F.col("count").alias("od"))
+    # fold outdeg into the edge table once: each edge carries 1/outdeg(src)
+    Ew = E.join(outdeg, E["src"] == outdeg["id"]).select("src", "dst", (F.lit(1.0) / F.col("od")).alias("w"))
+    Ew, _ = runner.tick("edges", Ew.repartition("src"))
+    dangling_ids = verts.join(outdeg, "id", "left_anti")
+    dangling_ids, _ = runner.tick("dangling", dangling_ids)
+
+    rank = verts.select("id", (F.lit(1.0) / F.lit(n)).alias("rank"))
+    rank, _ = runner.tick("rank", rank)
+
+    iters = fixed_iters if fixed_iters is not None else max_iters
+    for i in range(iters):
+        runner.superstep = i + 1
+        runner.bump("iterations")
+        dangling_mass = (
+            rank.join(dangling_ids, "id", "left_semi").agg(F.sum("rank")).first()[0] or 0.0
+        )
+        contrib = (
+            Ew.join(rank.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+            .select(F.col("dst").alias("id"), "c")
+        )
+        base = (1.0 - damping) / n + damping * dangling_mass / n
+        new_rank = verts.join(contrib, "id", "left").select(
+            "id", (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank")
+        )
+        new_rank, _ = runner.tick("rank_next", new_rank)
+        if fixed_iters is None:
+            delta = (
+                new_rank.join(rank.withColumnRenamed("rank", "prev"), "id")
+                .agg(F.max(F.abs(F.col("rank") - F.col("prev"))))
+                .first()[0]
+            )
+            runner.log("pagerank_iter", delta=float(delta))
+            runner.promote("rank_next", "rank")
+            rank = new_rank
+            if delta < tol:
+                break
+        else:
+            runner.promote("rank_next", "rank")
+            rank = new_rank
+        runner.maybe_checkpoint({"rank": rank})
+    result = rank.select("id", "rank")
+    for s in ("verts", "edges", "dangling"):
+        runner.release(s)
+    return result

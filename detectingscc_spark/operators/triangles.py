@@ -1,0 +1,86 @@
+"""Triangle counting — north_rule companion algorithm (SURVEY.md §2.11).
+
+Degree-ordered wedge join: canonicalize to undirected simple edges,
+orient each edge from the lower-(degree, id) endpoint to the higher one
+(standard skew mitigation — every triangle is counted exactly once and
+hub vertices never fan out as wedge centers beyond their forward degree),
+then one self-join to form wedges plus one semi-ish join to close them.
+
+Per-vertex counts credit all three corners.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _oriented(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Return (undirected canonical edges (a<b), degree-oriented edges)."""
+    und = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).cast("long").alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("e")
+        )
+        .select(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
+    )
+    return und, oriented
+
+
+def triangle_triples(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """All triangles as (x, y, z) vertex triples, each exactly once."""
+    _, o = _oriented(edges)
+    o = o.persist()
+    e1 = o.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    e2 = o.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    wedges = e1.join(e2, "v").select("u", "v", "w")
+    closing = o.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    tris = wedges.join(closing, ["u", "w"]).select("u", "v", "w")
+    return tris
+
+
+def triangle_count(spark: SparkSession, edges: DataFrame) -> int:
+    return triangle_triples(spark, edges).count()
+
+
+def triangle_count_per_vertex(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """(id: long, triangles: long) — vertices in no triangle get 0 only if
+    they appear in the edge set (join back against vertex universe)."""
+    tris = triangle_triples(spark, edges)
+    credits = (
+        tris.select(F.col("u").alias("id"))
+        .unionAll(tris.select(F.col("v").alias("id")))
+        .unionAll(tris.select(F.col("w").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    verts = (
+        edges.select(F.col("src").cast("long").alias("id"))
+        .union(edges.select(F.col("dst").cast("long").alias("id")))
+        .distinct()
+    )
+    return verts.join(credits, "id", "left").select(
+        "id", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
+    )

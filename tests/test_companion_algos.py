@@ -1,0 +1,63 @@
+"""PageRank / CC / LPA / triangles vs independent numpy/python oracles
+(SURVEY.md §2.11, north_rule companion algorithms)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from detectingscc_spark.operators.components import connected_components
+from detectingscc_spark.operators.lpa import label_propagation
+from detectingscc_spark.operators.pagerank import pagerank
+from detectingscc_spark.operators.triangles import triangle_count, triangle_count_per_vertex
+from detectingscc_spark.sources.gtgraph import gtgraph_meta, read_gtgraph
+
+from .conftest import REF_DATA
+from .oracles import cc_unionfind, lpa_sync, pagerank_numpy, triangles_brute
+
+
+@pytest.fixture(scope="module")
+def g128(spark):
+    path = os.path.join(REF_DATA, "sample128.gr")
+    v, _ = gtgraph_meta(spark, path)
+    edges = read_gtgraph(spark, path)
+    erows = [(r["src"], r["dst"]) for r in edges.collect()]
+    return edges, erows, v
+
+
+def test_pagerank_allclose(spark, g128):
+    edges, erows, v = g128
+    verts = spark.range(1, v + 1)
+    got = {r["id"]: r["rank"] for r in pagerank(spark, edges, verts, tol=1e-12).collect()}
+    exp = pagerank_numpy(erows, list(range(1, v + 1)))
+    assert set(got) == set(exp)
+    ga = np.array([got[i] for i in sorted(got)])
+    ea = np.array([exp[i] for i in sorted(exp)])
+    assert np.allclose(ga, ea, atol=1e-6)
+    assert abs(ga.sum() - 1.0) < 1e-9  # dangling mass conserved
+
+
+def test_connected_components(spark, g128):
+    edges, erows, v = g128
+    verts = spark.range(1, v + 1)
+    got = {r["id"]: r["cc_id"] for r in connected_components(spark, edges, verts).collect()}
+    exp = cc_unionfind([(s, d) for s, d in erows], list(range(1, v + 1)))
+    assert got == exp
+
+
+def test_lpa_deterministic(spark, g128):
+    edges, erows, v = g128
+    verts = spark.range(1, v + 1)
+    got = {r["id"]: r["label"] for r in label_propagation(spark, edges, verts, rounds=4).collect()}
+    exp = lpa_sync(erows, list(range(1, v + 1)), rounds=4)
+    assert got == exp
+
+
+def test_triangles(spark, g128):
+    edges, erows, v = g128
+    total_exp, per_exp = triangles_brute(erows)
+    assert triangle_count(spark, edges) == total_exp
+    got = {r["id"]: r["triangles"] for r in triangle_count_per_vertex(spark, edges).collect()}
+    for vid, cnt in per_exp.items():
+        assert got[vid] == cnt
+    assert sum(got.values()) == 3 * total_exp
