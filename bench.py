@@ -1,0 +1,102 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline queries:
+  * graph algorithms (SCC / PageRank / WCC / LPA / triangles) on the
+    deterministic synthetic import graph (corpus of
+    $SPARK_GRAFT_BENCH_FILES files, default 100k — successor-ring +
+    shortcut shape, giant SCC backbone), the engine's primary workload
+  * training-pipeline ops (minhash LSH, embedding top-k) and the
+    relational layer at $SPARK_GRAFT_SF_DIR
+
+Also reports scc_edges_per_sec (the BASELINE.md target metric). Runs on
+local[$SPARK_GRAFT_CPUS]; scaling efficiency between two parallelism
+levels is measured by tools/scaling_bench.py (same input, CPUS=8 vs 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "100000"))
+
+
+def main():
+    from detectingscc_spark.corpus import generate_corpus
+    from detectingscc_spark.ingest import ingest
+    from detectingscc_spark.operators.components import connected_components
+    from detectingscc_spark.operators.lpa import label_propagation
+    from detectingscc_spark.operators.pagerank import pagerank
+    from detectingscc_spark.operators.scc import strongly_connected_components
+    from detectingscc_spark.operators.triangles import triangle_count
+    from detectingscc_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- build the import graph once (ingest timed separately) -------
+    corpus = generate_corpus(spark, N_FILES).persist()
+    corpus.count()
+
+    def do_ingest():
+        verts, edges, _ = ingest(spark, corpus)
+        edges = edges.persist()
+        n_edges = edges.count()
+        return verts, edges, n_edges
+
+    verts, edges, n_edges = timed("ingest_extract_edges", do_ingest)
+
+    def do_scc():
+        return strongly_connected_components(
+            spark, edges, verts.select("id"), local_finish_edges=100_000
+        ).count()
+
+    n = timed("scc", do_scc)
+    assert n == N_FILES, f"scc covered {n}/{N_FILES} vertices"
+    extras["scc_edges_per_sec"] = round(n_edges / timings["scc"], 1)
+    extras["scc_n_edges"] = n_edges
+
+    timed("pagerank_20it", lambda: pagerank(spark, edges, verts.select("id"), fixed_iters=20).count())
+    timed("wcc", lambda: connected_components(spark, edges, verts.select("id")).count())
+    timed("lpa_5r", lambda: label_propagation(spark, edges, verts.select("id"), rounds=5).count())
+    timed("triangles", lambda: triangle_count(spark, edges))
+
+    # ---- pipeline + relational layer on the sf dir --------------------
+    for qname in ("minhash_pairs", "embedding_topk", "exact_dedup", "text_stats",
+                  "pricing_summary", "top_orders", "degrees", "sessionize"):
+        fn = entry.queries()[qname]
+        timed(qname, lambda fn=fn: fn(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "graph+pipeline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "bench_graph_files": N_FILES,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

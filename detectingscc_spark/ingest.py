@@ -78,9 +78,11 @@ def extract_import_edges(corpus: DataFrame, n_parts: int = 32) -> DataFrame:
         corpus.join(verts.select("repo", "path", F.col("id").alias("src")), ["repo", "path"])
         .select(
             "src",
+            # Column-API regexp (no SQL string re-escaping of backslashes)
             F.explode(
-                F.expr(
-                    f"transform(regexp_extract_all(content, '{IMPORT_RE}', 1), x -> cast(x as bigint))"
+                F.transform(
+                    F.regexp_extract_all(F.col("content"), F.lit(IMPORT_RE), F.lit(1)),
+                    lambda x: x.cast("long"),
                 )
             ).alias("dst"),
         )

@@ -10,7 +10,8 @@ Re-expresses the reference's `vHong` driver
   trim2                scc_kernels.cu:236-357          indeg==1 mutual-only-neighbor self-join
   pivot election       scc_kernels.cu:57-74,643-656    groupBy(range).agg(max_by(id, struct(prod,-id)))
                        (racy argmax)                   -> deterministic tie-break
-  FW/BW BFS            scc_kernels.cu:360-386,419-445  frontier join vs residual edges
+  FW/BW BFS            scc_kernels.cu:360-386,419-445  frontier join vs residual edges,
+                                                       or Arrow CSR multi-hop kernel
   update 3r+fw+2bw     scc_kernels.cu:124-142          (range,sub)->min(id) re-labeling
                                                        (bounded labels, no 3^k overflow)
   WCC decomposition    scc_WCC.cu:829-840              hash-min + pointer jumping
@@ -19,15 +20,18 @@ Output contract: (id: long, scc_id: long) with scc_id = min member id
 (canonical labels; the reference's racy pivots make its raw labels
 nondeterministic, but the partition itself is identical).
 
-Scale notes (100 TB design): residual edges are re-materialized per round
-so BFS joins never touch the full edge table; frontiers are broadcast
-while small; all per-vertex state is (id, range, fw, bw) — 25 bytes/row;
-every round localCheckpoints state to truncate lineage and optionally
-commits a durable parquet checkpoint for resume (north_rule). When the
-residual shrinks below `local_finish_edges` the driver finishes it with an
-in-memory Tarjan pass — the distributed rounds have already removed the
-giant SCC and trims, and a sub-threshold tail is latency- not
-throughput-bound (mirrors the intent of detectSCC's merge phase,
+Scale design (100 TB): the full edge table is joined exactly ONCE (round
+1 residual materialization); afterwards every phase — trims, pivots,
+BFS, decomposition — operates on the monotonically shrinking residual
+edge set, which is filtered in place as vertices retire (the Spark analog
+of the reference keeping all state device-resident and masking retired
+rows per kernel). Frontiers broadcast while small; per-vertex state is
+25 bytes/row; every superstep localCheckpoints to truncate lineage and
+periodically commits a durable parquet checkpoint + manifest for resume
+(north_rule). When the residual drops below `local_finish_edges` the
+driver finishes with an in-memory Tarjan pass — the distributed rounds
+have already removed the giant SCC and trims, and a sub-threshold tail is
+latency- not throughput-bound (intent of detectSCC's merge phase,
 /root/reference/src/scc_WCC.cu:1345-1528, without its quadratic closure
 sets).
 """
@@ -117,6 +121,81 @@ def _tarjan_local(edge_rows, vertex_ids):
     return result
 
 
+def _csr_multihop_kernel(block: int, direction_key: str):
+    """Arrow-vectorized block-local multi-hop BFS kernel (the north_star's
+    'sparse gather-scatter over per-partition CSR adjacency blocks').
+
+    Cogrouped inputs per block p (vertices v with v // block == p):
+      edges  (u, v): all residual edges whose EXPANDING endpoint u is local
+      states (id, vis, fr): local active vertices, visited + frontier flags
+    Output (id, local): local=True rows are definitively newly-visited
+    local vertices (already expanded in here, multi-hop); local=False rows
+    are remote frontier candidates the driver validates.
+    """
+    import numpy as np
+    import pandas as pd
+
+    empty = {"id": "int64", "local": "bool"}
+
+    def kernel(key, epdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        if len(spdf) == 0:
+            return pd.DataFrame({"id": [], "local": []}).astype(empty)
+        p = int(key[0])
+        frontier_ids = spdf.loc[spdf["fr"], "id"].to_numpy(dtype=np.int64)
+        if frontier_ids.size == 0:
+            return pd.DataFrame({"id": [], "local": []}).astype(empty)
+        u = epdf["u"].to_numpy(dtype=np.int64) if len(epdf) else np.empty(0, np.int64)
+        v = epdf["v"].to_numpy(dtype=np.int64) if len(epdf) else np.empty(0, np.int64)
+        local_ids = spdf["id"].to_numpy(dtype=np.int64)
+        vis_flags = spdf["vis"].to_numpy(dtype=bool)
+
+        order = np.argsort(u, kind="stable")
+        u_s, v_s = u[order], v[order]
+        sort_nodes = np.sort(local_ids)
+        row_start = np.searchsorted(u_s, sort_nodes, side="left")
+        row_end = np.searchsorted(u_s, sort_nodes, side="right")
+        vis = np.zeros(len(sort_nodes), dtype=bool)
+        vis[np.searchsorted(sort_nodes, local_ids)] = vis_flags
+
+        cur = np.unique(frontier_ids)
+        new_local: list = []
+        remote: list = []
+        while cur.size:
+            idx = np.searchsorted(sort_nodes, cur)
+            starts, ends = row_start[idx], row_end[idx]
+            counts = ends - starts
+            total = int(counts.sum())
+            if total == 0:
+                break
+            base = np.repeat(starts, counts)
+            csum = np.repeat(np.cumsum(counts) - counts, counts)
+            nbrs = np.unique(v_s[base + (np.arange(total) - csum)])
+            is_local = (nbrs // block) == p
+            rem = nbrs[~is_local]
+            if rem.size:
+                remote.append(rem)
+            loc = nbrs[is_local]
+            if loc.size == 0:
+                break
+            li = np.searchsorted(sort_nodes, loc)
+            fresh = loc[~vis[li]]
+            if fresh.size == 0:
+                break
+            vis[np.searchsorted(sort_nodes, fresh)] = True
+            new_local.append(fresh)
+            cur = fresh
+        nl = np.unique(np.concatenate(new_local)) if new_local else np.empty(0, np.int64)
+        rm = np.unique(np.concatenate(remote)) if remote else np.empty(0, np.int64)
+        return pd.DataFrame(
+            {
+                "id": np.concatenate([nl, rm]),
+                "local": np.concatenate([np.ones(nl.size, bool), np.zeros(rm.size, bool)]),
+            }
+        )
+
+    return kernel
+
+
 def strongly_connected_components(
     spark: SparkSession,
     edges: DataFrame,
@@ -130,6 +209,7 @@ def strongly_connected_components(
     decompose_every: int = 4,
     decompose_iters: int = 12,
     trim2_enabled: bool = True,
+    expand: str = "join",
 ) -> DataFrame:
     """Compute SCCs of a directed graph given as edges(src, dst).
 
@@ -137,38 +217,35 @@ def strongly_connected_components(
     V explicitly; vertices without arcs are singleton SCCs — e.g.
     /root/reference/data/sample0.gr has V=6 with two arcless vertices).
 
+    `expand`: "join" (frontier joins, always-correct baseline) or "csr"
+    (Arrow block-CSR multi-hop kernel; supersteps = cross-block hops).
     Set `local_finish_edges > 0` to let the driver finish a sub-threshold
-    residual with in-memory Tarjan (recommended ~2e5 for interactive runs;
-    tests exercise both paths).
+    residual with in-memory Tarjan; tests exercise both paths.
     """
     runner = runner or SuperstepRunner(spark, checkpoint_dir=checkpoint_dir)
 
     resumed = runner.resume()
-    done_parts: list[DataFrame] = []
     if resumed is not None:
         _, states = resumed
         active, a_cnt = runner.tick("active", states["active"])
         done, _ = runner.tick("done", states["done"])
-        done_parts.append(done)
-        E, _ = runner.tick("edges", states["edges"])
+        re, _ = runner.tick("re", states["re"])
         rnd = runner.superstep
     else:
-        E, _ = runner.tick("edges", _canonical_edges(edges).repartition("src"))
+        E = _canonical_edges(edges)
         verts = E.select(F.col("src").alias("id")).union(E.select(F.col("dst").alias("id"))).distinct()
         if vertices is not None:
             verts = verts.union(vertices.select(F.col("id").cast("long"))).distinct()
         init = verts.select("id", F.lit(0).cast("long").alias("range"))
         active, a_cnt = runner.tick("active", init)
-        empty_done = spark.createDataFrame([], "id long, scc_id long")
-        done, _ = runner.tick("done", empty_done)
-        done_parts.append(done)
+        # round-1 residual: the ONLY pass over the full edge table
+        re, _ = runner.tick("re", E.withColumn("range", F.lit(0).cast("long")).repartition("src"))
+        done, _ = runner.tick("done", spark.createDataFrame([], "id long, scc_id long"))
         rnd = 0
 
     def emit_done(new_rows: DataFrame) -> None:
         nonlocal done
-        d, _ = runner.tick("done", done.unionByName(new_rows.select("id", "scc_id")))
-        done = d
-        done_parts[:] = [d]
+        done, _ = runner.tick("done", done.unionByName(new_rows.select("id", "scc_id")))
 
     while a_cnt > 0:
         rnd += 1
@@ -177,53 +254,61 @@ def strongly_connected_components(
         if rnd > max_rounds:
             raise RuntimeError(f"SCC did not converge in {max_rounds} rounds")
 
-        # ---- optional range decomposition (weak components of residual) --
-        if rnd > 1 and decompose_every and (rnd - 2) % decompose_every == 0:
-            active, a_cnt = _decompose(runner, spark, E, active, a_cnt, decompose_iters)
-            runner.log("decompose", active=a_cnt)
+        def refresh_residual(re, active, a_cnt):
+            a_src = _bc(active, a_cnt).select(F.col("id").alias("src"), F.col("range").alias("srange"))
+            a_dst = _bc(active, a_cnt).select(F.col("id").alias("dst"), F.col("range").alias("drange"))
+            return runner.tick(
+                "re",
+                re.select("src", "dst")
+                .join(a_src, "src")
+                .join(a_dst, "dst")
+                .where(F.col("srange") == F.col("drange"))
+                .select("src", "dst", F.col("srange").alias("range")),
+            )
 
-        # ---- trim1 fixpoint ------------------------------------------
-        active, a_cnt = _trim1_fixpoint(runner, E, active, a_cnt, emit_done)
+        # ---- refresh residual for current membership + ranges ---------
+        re, re_cnt = refresh_residual(re, active, a_cnt)
+
+        # ---- optional range decomposition (weak components of residual)
+        # (after refresh: must only see same-CURRENT-range edges, else it
+        # would partially undo the previous round's FB split)
+        if rnd > 1 and decompose_every and (rnd - 2) % decompose_every == 0:
+            active, a_cnt = _decompose(runner, re, active, a_cnt, decompose_iters)
+            runner.log("decompose", active=a_cnt)
+            re, re_cnt = refresh_residual(re, active, a_cnt)
+        runner.log("residual", active=a_cnt, edges=re_cnt)
+
+        # ---- trim1 fixpoint (+ trim2 once, re-trim if it fired) -------
+        active, a_cnt, re, re_cnt = _trim1_fixpoint(runner, re, re_cnt, active, a_cnt, emit_done)
         if a_cnt == 0:
             break
-
-        # ---- trim2 (2-cycle SCCs), then re-trim if it fired ----------
         if trim2_enabled:
-            active, a_cnt, fired = _trim2(runner, E, active, a_cnt, emit_done)
-            if fired:
-                active, a_cnt = _trim1_fixpoint(runner, E, active, a_cnt, emit_done)
+            active, a_cnt, re, re_cnt, fired = _trim2(runner, re, re_cnt, active, a_cnt, emit_done)
+            if fired and a_cnt > 0:
+                active, a_cnt, re, re_cnt = _trim1_fixpoint(
+                    runner, re, re_cnt, active, a_cnt, emit_done
+                )
             if a_cnt == 0:
                 break
 
-        # ---- residual same-range edges (all later phases touch only this)
-        a_src = _bc(active, a_cnt).select(F.col("id").alias("src"), F.col("range").alias("srange"))
-        a_dst = _bc(active, a_cnt).select(F.col("id").alias("dst"), F.col("range").alias("drange"))
-        re = (
-            E.join(a_src, "src")
-            .join(a_dst, "dst")
-            .where(F.col("srange") == F.col("drange"))
-            .select("src", "dst", F.col("srange").alias("range"))
-        )
-        re_f, re_cnt = runner.tick("re_f", re.repartition("src"))
-        runner.log("residual", active=a_cnt, edges=re_cnt)
-
         # ---- optional driver-side finish for a tiny residual ----------
         if local_finish_edges and re_cnt <= local_finish_edges:
-            rows = [(r["src"], r["dst"]) for r in re_f.select("src", "dst").collect()]
+            rows = [(r["src"], r["dst"]) for r in re.select("src", "dst").collect()]
             ids = [r["id"] for r in active.select("id").collect()]
             labels = _tarjan_local(rows, ids)
-            pdf_done = spark.createDataFrame(
-                [(int(v), int(s)) for v, s in labels.items()], "id long, scc_id long"
+            emit_done(
+                spark.createDataFrame(
+                    [(int(v), int(s)) for v, s in labels.items()], "id long, scc_id long"
+                )
             )
-            emit_done(pdf_done)
             a_cnt = 0
             runner.log("local_finish", vertices=len(ids), edges=len(rows))
             break
 
-        re_b, _ = runner.tick("re_b", re_f.repartition("dst"))
+        re_b, _ = runner.tick("re_b", re.repartition("dst"), truncate=False)
 
         # ---- pivot election: per-range argmax of indeg*outdeg ---------
-        outd = re_f.groupBy("src").count().select(F.col("src").alias("id"), F.col("count").alias("od"))
+        outd = re.groupBy("src").count().select(F.col("src").alias("id"), F.col("count").alias("od"))
         ind = re_b.groupBy("dst").count().select(F.col("dst").alias("id"), F.col("count").alias("inde"))
         degs = outd.join(ind, "id", "full").select(
             "id", (F.coalesce("od", F.lit(0)) * F.coalesce("inde", F.lit(0))).alias("prod")
@@ -247,63 +332,12 @@ def strongly_connected_components(
             F.coalesce(F.col("id") == F.col("pivot"), F.lit(False)).alias("bw"),
         )
         state, _ = runner.tick("state", state)
-        ff, f_cnt = runner.tick("ff", state.where("fw").select("id"))
-        fb, b_cnt = runner.tick("fb", state.where("bw").select("id"))
 
-        hops = 0
-        while f_cnt > 0 or b_cnt > 0:
-            hops += 1
-            if hops > max_bfs_hops:
-                raise RuntimeError("BFS exceeded max hops")
-            new_f = new_b = None
-            # frontiers are bare id sets: residual edges are already
-            # same-range, so expansion cannot leak across ranges
-            if f_cnt > 0:
-                runner.bump("FWD_iterations")
-                cand = (
-                    re_f.join(_bc(ff.withColumnRenamed("id", "src"), f_cnt), "src")
-                    .select(F.col("dst").alias("id"))
-                    .distinct()
-                )
-                new_f = cand.join(state.where(~F.col("fw")).select("id"), "id", "left_semi")
-            if b_cnt > 0:
-                runner.bump("BWD_iterations")
-                cand = (
-                    re_b.join(_bc(fb.withColumnRenamed("id", "dst"), b_cnt), "dst")
-                    .select(F.col("src").alias("id"))
-                    .distinct()
-                )
-                new_b = cand.join(state.where(~F.col("bw")).select("id"), "id", "left_semi")
-
-            if new_f is not None:
-                ff, f_cnt = runner.tick("ff", new_f)
-            else:
-                f_cnt = 0
-            if new_b is not None:
-                fb, b_cnt = runner.tick("fb", new_b)
-            else:
-                b_cnt = 0
-            if f_cnt == 0 and b_cnt == 0:
-                break
-
-            upd = None
-            if f_cnt > 0:
-                upd = ff.select("id", F.lit(True).alias("nf"), F.lit(False).alias("nb"))
-            if b_cnt > 0:
-                ub = fb.select("id", F.lit(False).alias("nf"), F.lit(True).alias("nb"))
-                upd = ub if upd is None else upd.unionByName(ub)
-            upd = upd.groupBy("id").agg(F.max("nf").alias("nf"), F.max("nb").alias("nb"))
-            state = (
-                state.join(_bc(upd, (f_cnt or 0) + (b_cnt or 0)), "id", "left")
-                .select(
-                    "id",
-                    "range",
-                    (F.col("fw") | F.coalesce(F.col("nf"), F.lit(False))).alias("fw"),
-                    (F.col("bw") | F.coalesce(F.col("nb"), F.lit(False))).alias("bw"),
-                )
-            )
-            state, _ = runner.tick("state", state)
-        runner.log("bfs", hops=hops)
+        if expand == "csr":
+            state, hops = _bfs_csr(runner, spark, re, state, max_bfs_hops)
+        else:
+            state, hops = _bfs_join(runner, re, re_b, state, max_bfs_hops)
+        runner.log("bfs", hops=hops, mode=expand)
 
         # ---- update: FW∩BW = pivot's SCC; survivors re-ranged ---------
         in_scc = state.where(F.col("fw") & F.col("bw"))
@@ -320,32 +354,176 @@ def strongly_connected_components(
         active, a_cnt = runner.tick("active", active)
         runner.log("update", active=a_cnt)
 
-        runner.maybe_checkpoint({"active": active, "done": done, "edges": E})
-        for name in ("re_f", "re_b", "pivots", "state", "ff", "fb"):
+        runner.maybe_checkpoint({"active": active, "done": done, "re": re})
+        for name in ("re_b", "pivots", "state", "ff", "fb",
+                     "csr_ef", "csr_eb", "csr_out_fw", "csr_out_bw", "csr_nl_fw", "csr_nl_bw"):
             runner.release(name)
 
-    runner.maybe_checkpoint({"active": active, "done": done, "edges": E}, force=True)
-    result = done.select(F.col("id").cast("long"), F.col("scc_id").cast("long"))
-    runner.log("final", sccs=None)
-    return result
+    runner.maybe_checkpoint({"active": active, "done": done, "re": re}, force=True)
+    return done.select(F.col("id").cast("long"), F.col("scc_id").cast("long"))
 
 
-def _trim1_fixpoint(runner, E, active, a_cnt, emit_done):
-    """Iteratively retire vertices with zero active same-range in- or
-    out-neighbors (singleton SCCs) — reference trim1,
-    /root/reference/src/scc_kernels.cu:187-233."""
+def _bfs_join(runner, re_f, re_b, state, max_bfs_hops):
+    """Frontier-join BFS: one DataFrame join per hop per direction.
+    Frontiers are bare id sets — residual edges are already same-range,
+    so expansion cannot leak across ranges."""
+    ff, f_cnt = runner.tick("ff", state.where("fw").select("id"))
+    fb, b_cnt = runner.tick("fb", state.where("bw").select("id"))
+    hops = 0
+    while f_cnt > 0 or b_cnt > 0:
+        hops += 1
+        if hops > max_bfs_hops:
+            raise RuntimeError("BFS exceeded max hops")
+        new_f = new_b = None
+        if f_cnt > 0:
+            runner.bump("FWD_iterations")
+            cand = (
+                re_f.join(_bc(ff.withColumnRenamed("id", "src"), f_cnt), "src")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+            )
+            new_f = cand.join(state.where(~F.col("fw")).select("id"), "id", "left_semi")
+        if b_cnt > 0:
+            runner.bump("BWD_iterations")
+            cand = (
+                re_b.join(_bc(fb.withColumnRenamed("id", "dst"), b_cnt), "dst")
+                .select(F.col("src").alias("id"))
+                .distinct()
+            )
+            new_b = cand.join(state.where(~F.col("bw")).select("id"), "id", "left_semi")
+
+        if new_f is not None:
+            ff, f_cnt = runner.tick("ff", new_f)
+        else:
+            f_cnt = 0
+        if new_b is not None:
+            fb, b_cnt = runner.tick("fb", new_b)
+        else:
+            b_cnt = 0
+        if f_cnt == 0 and b_cnt == 0:
+            break
+
+        upd = None
+        if f_cnt > 0:
+            upd = ff.select("id", F.lit(True).alias("nf"), F.lit(False).alias("nb"))
+        if b_cnt > 0:
+            ub = fb.select("id", F.lit(False).alias("nf"), F.lit(True).alias("nb"))
+            upd = ub if upd is None else upd.unionByName(ub)
+        upd = upd.groupBy("id").agg(F.max("nf").alias("nf"), F.max("nb").alias("nb"))
+        state = state.join(_bc(upd, f_cnt + b_cnt), "id", "left").select(
+            "id",
+            "range",
+            (F.col("fw") | F.coalesce(F.col("nf"), F.lit(False))).alias("fw"),
+            (F.col("bw") | F.coalesce(F.col("nb"), F.lit(False))).alias("bw"),
+        )
+        state, _ = runner.tick("state", state)
+    return state, hops
+
+
+def _bfs_csr(runner, spark, re_f, state, max_bfs_hops):
+    """FW+BW reachability via the block-partitioned CSR multi-hop kernel.
+    Supersteps count cross-block transitions only (block-local expansion
+    runs to exhaustion inside each Arrow batch) — the Spark analog of the
+    reference's partition-local BFS (fwdLocal,
+    /root/reference/src/scc_kernels.cu:388-416)."""
+    n_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    max_id = state.agg(F.max("id")).first()[0]
+    block = int(max_id) // n_blocks + 1
+    kernel = _csr_multihop_kernel(block, "p")
+
+    ef = re_f.select(
+        (F.col("src") / block).cast("long").alias("p"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+    )
+    ef, _ = runner.tick("csr_ef", ef.repartition(n_blocks, "p"), truncate=False)
+    eb = re_f.select(
+        (F.col("dst") / block).cast("long").alias("p"),
+        F.col("dst").alias("u"),
+        F.col("src").alias("v"),
+    )
+    eb, _ = runner.tick("csr_eb", eb.repartition(n_blocks, "p"), truncate=False)
+
+    ff, f_cnt = runner.tick("ff", state.where("fw").select("id"))
+    fb, b_cnt = runner.tick("fb", state.where("bw").select("id"))
+
+    hops = 0
+    while f_cnt > 0 or b_cnt > 0:
+        hops += 1
+        if hops > max_bfs_hops:
+            raise RuntimeError("CSR BFS exceeded max hops")
+        runner.log("csr_hop", hop=hops, f=f_cnt, b=b_cnt)
+        # materialize all per-direction deltas BEFORE replacing state (a
+        # released localCheckpoint cannot be recomputed)
+        deltas = {}
+        for flag, edf, frontier, cnt, counter in (
+            ("fw", ef, ff, f_cnt, "FWD_iterations"),
+            ("bw", eb, fb, b_cnt, "BWD_iterations"),
+        ):
+            if cnt == 0:
+                continue
+            runner.bump(counter)
+            s_in = (
+                state.select("id", F.col(flag).alias("vis"))
+                .join(frontier.withColumn("fr", F.lit(True)), "id", "left")
+                .select("id", "vis", F.coalesce(F.col("fr"), F.lit(False)).alias("fr"))
+            )
+            out = (
+                edf.groupBy("p")
+                .cogroup(s_in.groupBy((F.col("id") / block).cast("long").alias("p")))
+                .applyInPandas(kernel, "id long, local boolean")
+            )
+            out, o_cnt = runner.tick(f"csr_out_{flag}", out)
+            runner.log("csr_out", flag=flag, rows=o_cnt)
+            new_local, _ = runner.tick(f"csr_nl_{flag}", out.where("local").select("id"))
+            new_remote = (
+                out.where(~F.col("local"))
+                .select("id")
+                .join(state.where(~F.col(flag)).select("id"), "id", "left_semi")
+                .join(new_local, "id", "left_anti")
+            )
+            slot = "ff" if flag == "fw" else "fb"
+            new_remote, r_cnt = runner.tick(slot, new_remote)
+            deltas[flag] = (new_local, new_remote, r_cnt)
+
+        f_cnt = deltas["fw"][2] if "fw" in deltas else 0
+        b_cnt = deltas["bw"][2] if "bw" in deltas else 0
+        ff = deltas["fw"][1] if "fw" in deltas else ff
+        fb = deltas["bw"][1] if "bw" in deltas else fb
+
+        upd_frames = [
+            nl.unionByName(nr).select(
+                "id", F.lit(flag == "fw").alias("nf"), F.lit(flag == "bw").alias("nb")
+            )
+            for flag, (nl, nr, _) in deltas.items()
+        ]
+        if upd_frames:
+            upd = upd_frames[0]
+            for m in upd_frames[1:]:
+                upd = upd.unionByName(m)
+            upd = upd.groupBy("id").agg(F.max("nf").alias("nf"), F.max("nb").alias("nb"))
+            state = state.join(upd, "id", "left").select(
+                "id",
+                "range",
+                (F.col("fw") | F.coalesce(F.col("nf"), F.lit(False))).alias("fw"),
+                (F.col("bw") | F.coalesce(F.col("nb"), F.lit(False))).alias("bw"),
+            )
+            state, _ = runner.tick("state", state)
+    for s in ("csr_out_fw", "csr_out_bw", "csr_nl_fw", "csr_nl_bw", "csr_ef", "csr_eb"):
+        runner.release(s)
+    return state, hops
+
+
+def _trim1_fixpoint(runner, re, re_cnt, active, a_cnt, emit_done):
+    """Iteratively retire vertices with zero residual in- or out-edges
+    (singleton SCCs) — reference trim1,
+    /root/reference/src/scc_kernels.cu:187-233. Operates purely on the
+    residual edge set, filtering it down as vertices retire."""
     while a_cnt > 0:
         runner.bump("Trimm_iterations")
-        a_src = _bc(active, a_cnt).select(F.col("id").alias("src"), F.col("range").alias("srange"))
-        a_dst = _bc(active, a_cnt).select(F.col("id").alias("dst"), F.col("range").alias("drange"))
-        ae = (
-            E.join(a_src, "src").join(a_dst, "dst").where(F.col("srange") == F.col("drange"))
-        )
-        has_out = ae.select(F.col("src").alias("id")).distinct()
-        has_in = ae.select(F.col("dst").alias("id")).distinct()
-        survivors = (
-            active.join(has_out, "id", "left_semi").join(has_in, "id", "left_semi")
-        )
+        has_out = re.select(F.col("src").alias("id")).distinct()
+        has_in = re.select(F.col("dst").alias("id")).distinct()
+        survivors = active.join(has_out, "id", "left_semi").join(has_in, "id", "left_semi")
         survivors, s_cnt = runner.tick("active_next", survivors)
         trimmed_cnt = a_cnt - s_cnt
         runner.log("trim1", trimmed=trimmed_cnt, active=s_cnt)
@@ -354,31 +532,31 @@ def _trim1_fixpoint(runner, E, active, a_cnt, emit_done):
                 "id", F.col("id").alias("scc_id")
             )
             emit_done(trimmed)
+            sv = _bc(survivors, s_cnt).select("id")
+            re, re_cnt = runner.tick(
+                "re",
+                re.join(sv.withColumnRenamed("id", "src"), "src", "left_semi").join(
+                    sv.withColumnRenamed("id", "dst"), "dst", "left_semi"
+                ).select("src", "dst", "range"),
+            )
         runner.promote("active_next", "active")
         active, a_cnt = survivors, s_cnt
         if trimmed_cnt == 0:
             break
-    return active, a_cnt
+    return active, a_cnt, re, re_cnt
 
 
-def _trim2(runner, E, active, a_cnt, emit_done):
-    """Retire 2-cycle SCCs {u,k} where each is the other's only active
-    same-range in-neighbor (or only out-neighbor) — reference trim2,
+def _trim2(runner, re, re_cnt, active, a_cnt, emit_done):
+    """Retire 2-cycle SCCs {u,k} where each is the other's only residual
+    in-neighbor (or only out-neighbor) — reference trim2,
     /root/reference/src/scc_kernels.cu:236-357. scc_id = min(u,k)."""
-    a_src = _bc(active, a_cnt).select(F.col("id").alias("src"), F.col("range").alias("srange"))
-    a_dst = _bc(active, a_cnt).select(F.col("id").alias("dst"), F.col("range").alias("drange"))
-    ae = (
-        E.join(a_src, "src").join(a_dst, "dst")
-        .where(F.col("srange") == F.col("drange"))
-        .select("src", "dst")
-    )
     only_in = (
-        ae.groupBy("dst").agg(F.count("*").alias("c"), F.min("src").alias("nbr"))
+        re.groupBy("dst").agg(F.count("*").alias("c"), F.min("src").alias("nbr"))
         .where("c = 1")
         .select(F.col("dst").alias("id"), "nbr")
     )
     only_out = (
-        ae.groupBy("src").agg(F.count("*").alias("c"), F.min("dst").alias("nbr"))
+        re.groupBy("src").agg(F.count("*").alias("c"), F.min("dst").alias("nbr"))
         .where("c = 1")
         .select(F.col("src").alias("id"), "nbr")
     )
@@ -389,48 +567,46 @@ def _trim2(runner, E, active, a_cnt, emit_done):
         return (
             a.join(b, (F.col("a.nbr") == F.col("b.id")) & (F.col("b.nbr") == F.col("a.id")))
             .where(F.col("a.id") < F.col("b.id"))
-            .select(
-                F.col("a.id").alias("u"),
-                F.col("b.id").alias("k"),
-            )
+            .select(F.col("a.id").alias("u"), F.col("b.id").alias("k"))
         )
 
     pairs = mutual(only_in).unionByName(mutual(only_out)).distinct()
     pairs, pair_cnt = runner.tick("t2pairs", pairs)
     if pair_cnt == 0:
         runner.release("t2pairs")
-        return active, a_cnt, False
+        return active, a_cnt, re, re_cnt, False
     retired = pairs.select(F.col("u").alias("id"), F.col("u").alias("scc_id")).unionByName(
         pairs.select(F.col("k").alias("id"), F.col("u").alias("scc_id"))
     ).distinct()
     retired, r_cnt = runner.tick("t2retired", retired)
     emit_done(retired)
-    active = active.join(retired.select("id"), "id", "left_anti")
-    active, a_cnt = runner.tick("active", active)
+    active, a_cnt = runner.tick("active_next", active.join(retired.select("id"), "id", "left_anti"))
+    runner.promote("active_next", "active")
+    rt = _bc(retired, r_cnt).select("id")
+    re, re_cnt = runner.tick(
+        "re",
+        re.join(rt.withColumnRenamed("id", "src"), "src", "left_anti").join(
+            rt.withColumnRenamed("id", "dst"), "dst", "left_anti"
+        ).select("src", "dst", "range"),
+    )
     runner.log("trim2", retired=r_cnt, active=a_cnt)
     runner.release("t2pairs")
     runner.release("t2retired")
-    return active, a_cnt, True
+    return active, a_cnt, re, re_cnt, True
 
 
-def _decompose(runner, spark, E, active, a_cnt, iters):
+def _decompose(runner, re, active, a_cnt, iters):
     """Refine ranges to weak components of the residual graph via
     hash-min label propagation + pointer jumping (reference's 'WCC
     decomposition', /root/reference/src/scc_WCC.cu:829-840 /
     scc_kernels.cu:496-536). Any partial refinement is correct: an SCC is
     weakly connected, so min-labels never split an SCC across ranges."""
-    a_src = _bc(active, a_cnt).select(F.col("id").alias("src"), F.col("range").alias("srange"))
-    a_dst = _bc(active, a_cnt).select(F.col("id").alias("dst"), F.col("range").alias("drange"))
-    re = (
-        E.join(a_src, "src").join(a_dst, "dst")
-        .where(F.col("srange") == F.col("drange"))
-        .select("src", "dst")
+    und = re.select("src", "dst").unionByName(
+        re.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    und = re.unionByName(re.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    und, _ = runner.tick("dec_edges", und.repartition("src"))
+    und, _ = runner.tick("dec_edges", und.repartition("src"), truncate=False)
 
-    lab = active.select("id", F.col("id").alias("label"))
-    lab, _ = runner.tick("dec_lab", lab)
+    lab, _ = runner.tick("dec_lab", active.select("id", F.col("id").alias("label")))
     prev_sum = lab.agg(F.sum("label")).first()[0]
     for _ in range(iters):
         nbr = (
@@ -442,19 +618,21 @@ def _decompose(runner, spark, E, active, a_cnt, iters):
         lab1 = lab.join(nbr, "id", "left").select(
             "id", F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label")
         )
-        # pointer jumping: label <- label(label)
         l2 = lab1.alias("a").join(
             lab1.select(F.col("id").alias("label"), F.col("label").alias("ll")).alias("b"),
             "label",
             "left",
-        ).select(F.col("id"), F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"))
+        ).select(
+            F.col("id"),
+            F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"),
+        )
         lab, _ = runner.tick("dec_lab", l2)
         new_sum = lab.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    active = active.join(lab, "id").select("id", F.col("label").alias("range"))
-    active, a_cnt = runner.tick("active", active)
+    active, a_cnt = runner.tick("active_next", active.join(lab, "id").select("id", F.col("label").alias("range")))
+    runner.promote("active_next", "active")
     runner.release("dec_edges")
     runner.release("dec_lab")
     return active, a_cnt

@@ -84,11 +84,31 @@ class SuperstepRunner:
                 old.unpersist()
             except Exception:
                 pass
-        # re-alias every column: fresh expression ids prevent Spark's
-        # ambiguous-self-join errors when checkpointed state is joined
-        # against frames derived from it (routine in iterative loops)
-        fresh = new.select([F.col(c).alias(c) for c in new.columns])
-        return fresh, cnt
+        return self._detach(new), cnt
+
+    def _detach(self, df: DataFrame) -> DataFrame:
+        """Wrap a materialized frame as a fresh JVM DataFrame.
+
+        Two reasons, both load-bearing for iterative algorithms:
+        (1) fresh expression ids — prevents ambiguous-self-join errors
+            when state is joined against frames derived from it;
+        (2) STATS RESET — localCheckpoint carries the optimized plan's
+            sizeInBytes into the new leaf (originStats). Iterative joins
+            then COMPOUND those statistics multiplicatively: after n
+            supersteps the BigInt sizeInBytes has O(2^n) digits and
+            Catalyst's SizeInBytesOnlyStatsPlanVisitor spends minutes in
+            BigInteger.multiply during planning (observed as a live-lock
+            at ~20 BFS hops). Rebuilding via createDataFrame(rdd, schema)
+            drops originStats so every tick restarts from default leaf
+            statistics.
+        """
+        try:
+            jdf = df._jdf
+            jnew = self.spark._jsparkSession.createDataFrame(jdf.rdd(), jdf.schema())
+            return DataFrame(jnew, self.spark)
+        except Exception:
+            # spark-connect or API drift: fall back to fresh aliases only
+            return df.select([F.col(c).alias(c) for c in df.columns])
 
     def promote(self, src: str, dst: str) -> None:
         """Move slot `src` to slot `dst`, releasing dst's old value."""

@@ -1,0 +1,156 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal
+plumbing (rows-only ops get their exactness checks here)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from detectingscc_spark.functions.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from detectingscc_spark.functions.multimodal import extract_features, frame_sample, synthetic_media
+from detectingscc_spark.functions.similarity import ann_topk_lsh, brute_force_topk
+from detectingscc_spark.functions.text import fingerprint, lang_guess, text_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # plant exact + near duplicates deterministically
+    dup = base.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = base.where((F.col("doc_id") >= 5) & (F.col("doc_id") < 10)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return base.unionByName(dup).unionByName(near)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup(spark, docs):
+    res = exact_dedup(docs).collect()
+    by_id = {r["doc_id"]: r for r in res}
+    for i in range(5):
+        assert by_id[i]["keep"] is True
+        assert by_id[i + 100000]["keep"] is False
+        assert by_id[i]["content_sha"] == by_id[i + 100000]["content_sha"]
+    kept = sum(1 for r in res if r["keep"])
+    assert kept == len(res) - 5
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    # exact dups always collide on every band
+    for i in range(5):
+        assert (i, i + 100000) in pairs
+    # near dups (append-only edit) should mostly collide
+    near_hits = sum(1 for i in range(5, 10) if (i, i + 200000) in pairs)
+    assert near_hits >= 4
+
+
+def test_minhash_signature_shape(spark, docs):
+    sig = minhash_signatures(docs, num_hashes=16).first()
+    assert len(sig["sig"]) == 16
+    assert all(len(h) == 64 for h in sig["sig"])
+
+
+def test_ngram_jaccard(spark, docs):
+    sub = docs.where(F.col("doc_id").isin(5, 200005))
+    res = ngram_jaccard_pairs(sub, n=3).collect()
+    assert len(res) == 1
+    assert res[0]["jaccard"] > 0.9
+
+
+def test_simhash_near_dup_close(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    for i in range(5):
+        assert sh[i] == sh[i + 100000]  # identical text -> identical simhash
+    for i in range(5, 10):
+        d = bin((sh[i] ^ sh[i + 200000]) & ((1 << 64) - 1)).count("1")
+        assert d <= 8  # near dup -> small hamming distance
+
+
+def test_brute_force_topk_vs_numpy(spark, emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    got = brute_force_topk(emb, query_ids=[0, 7], k=3).collect()
+    for q in (0, 7):
+        qs = sorted(
+            ((int(r["vec_id"]), float(r["cos"])) for r in got if r["query_id"] == q),
+            key=lambda t: -t[1],
+        )
+        qv = vecs[q]
+        sims = {
+            vid: float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for vid, v in vecs.items()
+            if vid != q
+        }
+        exp = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:3]
+        assert [v for v, _ in qs] == [v for v, _ in exp]
+        for (_, a), (_, b) in zip(qs, exp):
+            assert abs(a - b) < 1e-5
+
+
+def test_ann_lsh_recall(spark, emb):
+    exact = brute_force_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5).collect()
+    approx = ann_topk_lsh(emb, query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2  # 4 planes / 16 buckets on random vectors: sanity bound
+    assert all(r["rank"] <= 5 for r in approx)
+
+
+def test_embedding_dups_symmetry(spark, emb):
+    res = embedding_dup_pairs(emb, threshold=0.30).collect()
+    for r in res:
+        assert r["vec_a"] < r["vec_b"]
+        assert r["cos"] >= 0.30
+
+
+def test_text_stats_and_lang(spark, docs):
+    st = text_stats(docs).where(F.col("doc_id") == 0).first()
+    row = docs.where(F.col("doc_id") == 0).first()
+    toks = row["text"].count(" ") + 1
+    assert st["n_tokens"] == toks
+    assert st["n_chars"] == len(row["text"])
+    lg = lang_guess(docs).where(F.col("doc_id") == 0).first()
+    assert lg["lang_guess"] in ("en", "dataish", "sparkish")
+
+
+def test_fingerprint_deterministic_and_dup_stable(spark, docs):
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    for i in range(5):
+        assert fp[i] == fp[i + 100000]
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 30
+    assert all(len(r["feature"]) == 16 for r in feats)
+    # deterministic
+    again = extract_features(synthetic_media(spark, n=30), dim=16).collect()
+    assert sorted((r["media_id"], tuple(r["feature"])) for r in feats) == sorted(
+        (r["media_id"], tuple(r["feature"])) for r in again
+    )
+    frames = frame_sample(media, every_n=4)
+    vids = media.where(F.col("kind") == "video").count()
+    assert frames.select("media_id").distinct().count() == vids
+    with pytest.raises(NotImplementedError):
+        extract_features(media, fake=False)

@@ -64,6 +64,37 @@ def test_scc_no_trim2(spark):
     assert got == expect
 
 
+@pytest.mark.parametrize("name", ["sample5.gr", "sample128.gr"])
+def test_scc_csr_expansion(spark, name):
+    """The Arrow CSR multi-hop kernel must agree with the join expander."""
+    got, expect, _ = _run_scc(spark, name, expand="csr")
+    assert got == expect
+
+
+def test_scc_corpus_ingest_end_to_end(spark):
+    """corpus -> pandas-UDF extraction -> SCC, vs oracle on rule edges."""
+    from detectingscc_spark.corpus import generate_corpus
+    from detectingscc_spark.ingest import ingest
+    from .oracles import kosaraju_scc as _k
+
+    n = 400
+    corpus = generate_corpus(spark, n)
+    verts, edges, _ = ingest(spark, corpus, use_pandas=True)
+    res = strongly_connected_components(spark, edges, verts.select("id"))
+    got = {r["id"]: r["scc_id"] for r in res.collect()}
+    erows = [(r["src"], r["dst"]) for r in edges.collect()]
+    assert got == _k(erows, list(range(n)))
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as se
+
+    df = se.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"id", "scc_id"}
+    assert set(se.oracle_sql()) <= set(se.queries())
+
+
 @pytest.mark.slow
 def test_scc_sample2_giant(spark):
     """32,768-vertex giant-SCC graph (golden: 4,889 SCCs, largest 25,039)."""

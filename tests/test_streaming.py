@@ -1,0 +1,55 @@
+"""Structured Streaming: windowed aggregation and incremental edge
+extraction agree with their batch equivalents."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from detectingscc_spark.corpus import generate_corpus
+from detectingscc_spark.ingest import extract_import_edges
+from detectingscc_spark.streaming.events import (
+    hourly_counts,
+    run_to_memory,
+    stream_corpus_edges,
+    stream_events,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_hourly_matches_batch(spark, tmp_path):
+    src_dir = tmp_path / "events_in"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0.parquet")
+    agg = hourly_counts(stream_events(spark, str(src_dir)))
+    run_to_memory(agg, "hourly_t")
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.table("hourly_t").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .collect()
+    )
+    exp = {(r["hour"], r["event_type"]): (r["n"], r["sum_value"]) for r in batch}
+    assert got == exp
+
+
+def test_stream_edge_extraction_matches_batch(spark, tmp_path):
+    n = 120
+    corpus = generate_corpus(spark, n)
+    cdir = str(tmp_path / "corpus_in")
+    corpus.write.parquet(cdir)
+    schema = "fid long, repo string, path string, commit string, lang string, content string"
+    edges_stream = stream_corpus_edges(spark, cdir, schema)
+    run_to_memory(edges_stream, "edges_t", output_mode="append")
+    got = {(r["src"], r["dst"]) for r in spark.table("edges_t").collect()}
+    exp = {
+        (r["src"], r["dst"])
+        for r in extract_import_edges(corpus).select("src", "dst").collect()
+    }
+    assert got == exp

@@ -1,0 +1,84 @@
+"""Scaling-efficiency evidence (BASELINE.json: ≥0.8 from N to 4N).
+
+No real cluster exists in this sandbox, so per the round instructions the
+same SCC job runs on the same input at two parallelism levels —
+local[8] and local[32] — in separate JVMs (fresh spark-submit-equivalent
+subprocesses). Efficiency = (throughput@32 / throughput@8) / 4.
+
+Writes tools/scaling_result.json and appends a row to BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from detectingscc_spark.session import get_spark
+from detectingscc_spark.corpus import generate_corpus
+from detectingscc_spark.ingest import ingest
+from detectingscc_spark.operators.scc import strongly_connected_components
+
+cpus = os.environ["SPARK_GRAFT_CPUS"]
+n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "100000"))
+spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=int(cpus))
+corpus = generate_corpus(spark, n_files).persist(); corpus.count()
+verts, edges, _ = ingest(spark, corpus)
+edges = edges.persist(); n_edges = edges.count()
+t0 = time.time()
+n = strongly_connected_components(spark, edges, verts.select("id"),
+                                  local_finish_edges=100_000).count()
+dt = time.time() - t0
+assert n == n_files
+print(json.dumps({"cpus": int(cpus), "wall_sec": dt,
+                  "edges": n_edges, "edges_per_sec": n_edges / dt}))
+"""
+
+
+def run(cpus: int, n_files: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_BENCH_FILES=str(n_files))
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD % {"repo": REPO}],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no result from cpus={cpus}: {out.stderr[-2000:]}")
+
+
+def main():
+    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "100000"))
+    lo = run(8, n_files)
+    hi = run(32, n_files)
+    eff = (hi["edges_per_sec"] / lo["edges_per_sec"]) / 4.0
+    result = {
+        "job": "scc on synthetic import graph",
+        "n_files": n_files,
+        "local8": lo,
+        "local32": hi,
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    with open(os.path.join(REPO, "tools", "scaling_result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    row = (
+        f"\n| scaling run {result['ts']} | local[8]: {lo['wall_sec']:.1f}s "
+        f"({lo['edges_per_sec']:.0f} e/s) | local[32]: {hi['wall_sec']:.1f}s "
+        f"({hi['edges_per_sec']:.0f} e/s) | efficiency {eff:.3f} |"
+    )
+    with open(os.path.join(REPO, "BASELINE.md"), "a") as f:
+        f.write(row + "\n")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
