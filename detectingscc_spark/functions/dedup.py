@@ -47,15 +47,16 @@ def _shingle_expr(shingle: int, stride: int) -> str:
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, shingle: int = 8, stride: int = 4) -> DataFrame:
     """(doc_id, sig: array<string>) — sig[h] = min over shingles of
-    sha256('h<h>|' || shingle). Pure built-ins, codegen'd."""
-    cols = [
-        F.expr(
-            f"array_min(transform({_shingle_expr(shingle, stride)},"
-            f" s -> sha2(concat('h{h}|', s), 256)))"
-        ).alias(f"mh{h}")
+    sha256('h<h>|' || shingle). Single shingle explode + k min-aggregates
+    in one pass (map-side partial aggregation keeps the shuffle at one
+    row per doc); identical output to the per-column formulation and to
+    the DuckDB oracle SQL."""
+    grams = docs.select("doc_id", F.explode(F.expr(_shingle_expr(shingle, stride))).alias("s"))
+    aggs = [
+        F.min(F.sha2(F.concat(F.lit(f"h{h}|"), F.col("s")), 256)).alias(f"mh{h}")
         for h in range(num_hashes)
     ]
-    sig = docs.select("doc_id", *cols)
+    sig = grams.groupBy("doc_id").agg(*aggs)
     return sig.select("doc_id", F.array(*[F.col(f"mh{h}") for h in range(num_hashes)]).alias("sig"))
 
 

@@ -35,7 +35,7 @@ def connected_components(
         .distinct()
     )
     und = E.unionByName(E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    und, _ = runner.tick("edges", und.repartition("src"))
+    und, _ = runner.tick("edges", und.repartition("src"), detach=False)
 
     verts = und.select(F.col("src").alias("id")).distinct()
     if vertices is not None:

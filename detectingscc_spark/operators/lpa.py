@@ -35,7 +35,7 @@ def label_propagation(
         .distinct()
     )
     und = E.unionByName(E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    und, _ = runner.tick("edges", und.repartition("dst"))
+    und, _ = runner.tick("edges", und.repartition("dst"), detach=False)
 
     verts = und.select(F.col("src").alias("id")).distinct()
     if vertices is not None:

@@ -44,14 +44,14 @@ def pagerank(
     verts = E.select(F.col("src").alias("id")).union(E.select(F.col("dst").alias("id"))).distinct()
     if vertices is not None:
         verts = verts.union(vertices.select(F.col("id").cast("long"))).distinct()
-    verts, n = runner.tick("verts", verts)
+    verts, n = runner.tick("verts", verts, detach=False)
 
     outdeg = E.groupBy("src").count().select(F.col("src").alias("id"), F.col("count").alias("od"))
     # fold outdeg into the edge table once: each edge carries 1/outdeg(src)
     Ew = E.join(outdeg, E["src"] == outdeg["id"]).select("src", "dst", (F.lit(1.0) / F.col("od")).alias("w"))
-    Ew, _ = runner.tick("edges", Ew.repartition("src"))
+    Ew, _ = runner.tick("edges", Ew.repartition("src"), detach=False)
     dangling_ids = verts.join(outdeg, "id", "left_anti")
-    dangling_ids, _ = runner.tick("dangling", dangling_ids)
+    dangling_ids, _ = runner.tick("dangling", dangling_ids, detach=False)
 
     rank = verts.select("id", (F.lit(1.0) / F.lit(n)).alias("rank"))
     rank, _ = runner.tick("rank", rank)

@@ -209,6 +209,7 @@ def strongly_connected_components(
     decompose_every: int = 4,
     decompose_iters: int = 12,
     trim2_enabled: bool = True,
+    trim_iters: int = 4,
     expand: str = "join",
 ) -> DataFrame:
     """Compute SCCs of a directed graph given as edges(src, dst).
@@ -239,13 +240,15 @@ def strongly_connected_components(
         init = verts.select("id", F.lit(0).cast("long").alias("range"))
         active, a_cnt = runner.tick("active", init)
         # round-1 residual: the ONLY pass over the full edge table
-        re, _ = runner.tick("re", E.withColumn("range", F.lit(0).cast("long")).repartition("src"))
+        re, _ = runner.tick("re", E.withColumn("range", F.lit(0).cast("long")).repartition("src"), detach=False)
         done, _ = runner.tick("done", spark.createDataFrame([], "id long, scc_id long"))
         rnd = 0
 
     def emit_done(new_rows: DataFrame) -> None:
         nonlocal done
-        done, _ = runner.tick("done", done.unionByName(new_rows.select("id", "scc_id")))
+        done, _ = runner.tick(
+            "done", done.unionByName(new_rows.select("id", "scc_id")), count=False
+        )
 
     while a_cnt > 0:
         rnd += 1
@@ -264,6 +267,7 @@ def strongly_connected_components(
                 .join(a_dst, "dst")
                 .where(F.col("srange") == F.col("drange"))
                 .select("src", "dst", F.col("srange").alias("range")),
+                detach=False,
             )
 
         # ---- refresh residual for current membership + ranges ---------
@@ -278,15 +282,18 @@ def strongly_connected_components(
             re, re_cnt = refresh_residual(re, active, a_cnt)
         runner.log("residual", active=a_cnt, edges=re_cnt)
 
-        # ---- trim1 fixpoint (+ trim2 once, re-trim if it fired) -------
-        active, a_cnt, re, re_cnt = _trim1_fixpoint(runner, re, re_cnt, active, a_cnt, emit_done)
+        # ---- trim1 (bounded fixpoint; stragglers become singleton
+        # ranges and retire via later pivots — correctness unaffected) --
+        active, a_cnt, re, re_cnt = _trim1_fixpoint(
+            runner, re, re_cnt, active, a_cnt, emit_done, trim_iters
+        )
         if a_cnt == 0:
             break
         if trim2_enabled:
             active, a_cnt, re, re_cnt, fired = _trim2(runner, re, re_cnt, active, a_cnt, emit_done)
             if fired and a_cnt > 0:
                 active, a_cnt, re, re_cnt = _trim1_fixpoint(
-                    runner, re, re_cnt, active, a_cnt, emit_done
+                    runner, re, re_cnt, active, a_cnt, emit_done, trim_iters
                 )
             if a_cnt == 0:
                 break
@@ -305,7 +312,7 @@ def strongly_connected_components(
             runner.log("local_finish", vertices=len(ids), edges=len(rows))
             break
 
-        re_b, _ = runner.tick("re_b", re.repartition("dst"), truncate=False)
+        re_b, _ = runner.tick("re_b", re.repartition("dst"), truncate=False, detach=False)
 
         # ---- pivot election: per-range argmax of indeg*outdeg ---------
         outd = re.groupBy("src").count().select(F.col("src").alias("id"), F.col("count").alias("od"))
@@ -355,69 +362,77 @@ def strongly_connected_components(
         runner.log("update", active=a_cnt)
 
         runner.maybe_checkpoint({"active": active, "done": done, "re": re})
-        for name in ("re_b", "pivots", "state", "ff", "fb",
-                     "csr_ef", "csr_eb", "csr_out_fw", "csr_out_bw", "csr_nl_fw", "csr_nl_bw"):
+        for name in ("re_b", "pivots", "state"):
             runner.release(name)
 
     runner.maybe_checkpoint({"active": active, "done": done, "re": re}, force=True)
     return done.select(F.col("id").cast("long"), F.col("scc_id").cast("long"))
 
 
-def _bfs_join(runner, re_f, re_b, state, max_bfs_hops):
-    """Frontier-join BFS: one DataFrame join per hop per direction.
-    Frontiers are bare id sets — residual edges are already same-range,
-    so expansion cannot leak across ranges."""
-    ff, f_cnt = runner.tick("ff", state.where("fw").select("id"))
-    fb, b_cnt = runner.tick("fb", state.where("bw").select("id"))
-    hops = 0
-    while f_cnt > 0 or b_cnt > 0:
-        hops += 1
-        if hops > max_bfs_hops:
-            raise RuntimeError("BFS exceeded max hops")
-        new_f = new_b = None
-        if f_cnt > 0:
-            runner.bump("FWD_iterations")
-            cand = (
-                re_f.join(_bc(ff.withColumnRenamed("id", "src"), f_cnt), "src")
-                .select(F.col("dst").alias("id"))
-                .distinct()
-            )
-            new_f = cand.join(state.where(~F.col("fw")).select("id"), "id", "left_semi")
-        if b_cnt > 0:
-            runner.bump("BWD_iterations")
-            cand = (
-                re_b.join(_bc(fb.withColumnRenamed("id", "dst"), b_cnt), "dst")
-                .select(F.col("src").alias("id"))
-                .distinct()
-            )
-            new_b = cand.join(state.where(~F.col("bw")).select("id"), "id", "left_semi")
-
-        if new_f is not None:
-            ff, f_cnt = runner.tick("ff", new_f)
-        else:
-            f_cnt = 0
-        if new_b is not None:
-            fb, b_cnt = runner.tick("fb", new_b)
-        else:
-            b_cnt = 0
-        if f_cnt == 0 and b_cnt == 0:
-            break
-
-        upd = None
-        if f_cnt > 0:
-            upd = ff.select("id", F.lit(True).alias("nf"), F.lit(False).alias("nb"))
-        if b_cnt > 0:
-            ub = fb.select("id", F.lit(False).alias("nf"), F.lit(True).alias("nb"))
-            upd = ub if upd is None else upd.unionByName(ub)
-        upd = upd.groupBy("id").agg(F.max("nf").alias("nf"), F.max("nb").alias("nb"))
-        state = state.join(_bc(upd, f_cnt + b_cnt), "id", "left").select(
+def _assemble_state(runner, state, vis_f, vis_b):
+    """Rebuild (id, range, fw, bw) from the two visited id-sets."""
+    out = (
+        state.select("id", "range")
+        .join(vis_f.withColumn("nf", F.lit(True)), "id", "left")
+        .join(vis_b.withColumn("nb", F.lit(True)), "id", "left")
+        .select(
             "id",
             "range",
-            (F.col("fw") | F.coalesce(F.col("nf"), F.lit(False))).alias("fw"),
-            (F.col("bw") | F.coalesce(F.col("nb"), F.lit(False))).alias("bw"),
+            F.coalesce(F.col("nf"), F.lit(False)).alias("fw"),
+            F.coalesce(F.col("nb"), F.lit(False)).alias("bw"),
         )
-        state, _ = runner.tick("state", state)
-    return state, hops
+    )
+    out, _ = runner.tick("state", out, count=False)
+    return out
+
+
+def _bfs_join(runner, re_f, re_b, state, max_bfs_hops):
+    """Frontier-join BFS: one DataFrame join per hop per direction, both
+    directions submitted concurrently (independent Spark jobs). Visited
+    sets are maintained as growing id frames — the per-hop state is never
+    materialized, only the final (fw, bw) assembly. Frontiers are bare id
+    sets: residual edges are already same-range, so expansion cannot leak
+    across ranges."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    seeds, seed_cnt = runner.tick("seeds", state.where("fw").select("id"), detach=False)
+    sides = {
+        "f": {"edges": re_f, "key": ("src", "dst"), "vis": seeds, "front": seeds,
+              "cnt": seed_cnt, "counter": "FWD_iterations", "slot": "f"},
+        "b": {"edges": re_b, "key": ("dst", "src"), "vis": seeds, "front": seeds,
+              "cnt": seed_cnt, "counter": "BWD_iterations", "slot": "b"},
+    }
+
+    def step(s):
+        runner.bump(s["counter"])
+        jk, ok = s["key"]
+        cand = (
+            s["edges"].join(_bc(s["front"].withColumnRenamed("id", jk), s["cnt"]), jk)
+            .select(F.col(ok).alias("id"))
+            .distinct()
+        )
+        new = cand.join(s["vis"], "id", "left_anti")
+        new, n_cnt = runner.tick(f"front_{s['slot']}", new, detach=False)
+        if n_cnt:
+            vis, _ = runner.tick(
+                f"vis_{s['slot']}", s["vis"].unionByName(new), count=False, detach=False
+            )
+            s["vis"] = vis
+        s["front"], s["cnt"] = new, n_cnt
+
+    hops = 0
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        while sides["f"]["cnt"] > 0 or sides["b"]["cnt"] > 0:
+            hops += 1
+            if hops > max_bfs_hops:
+                raise RuntimeError("BFS exceeded max hops")
+            futs = [pool.submit(step, s) for s in sides.values() if s["cnt"] > 0]
+            for fut in futs:
+                fut.result()
+    final = _assemble_state(runner, state, sides["f"]["vis"], sides["b"]["vis"])
+    for slot in ("seeds", "front_f", "front_b", "vis_f", "vis_b"):
+        runner.release(slot)
+    return final, hops
 
 
 def _bfs_csr(runner, spark, re_f, state, max_bfs_hops):
@@ -436,90 +451,83 @@ def _bfs_csr(runner, spark, re_f, state, max_bfs_hops):
         F.col("src").alias("u"),
         F.col("dst").alias("v"),
     )
-    ef, _ = runner.tick("csr_ef", ef.repartition(n_blocks, "p"), truncate=False)
+    ef, _ = runner.tick("csr_ef", ef.repartition(n_blocks, "p"), truncate=False, detach=False)
     eb = re_f.select(
         (F.col("dst") / block).cast("long").alias("p"),
         F.col("dst").alias("u"),
         F.col("src").alias("v"),
     )
-    eb, _ = runner.tick("csr_eb", eb.repartition(n_blocks, "p"), truncate=False)
+    eb, _ = runner.tick("csr_eb", eb.repartition(n_blocks, "p"), truncate=False, detach=False)
 
-    ff, f_cnt = runner.tick("ff", state.where("fw").select("id"))
-    fb, b_cnt = runner.tick("fb", state.where("bw").select("id"))
+    from concurrent.futures import ThreadPoolExecutor
+
+    ids, _ = runner.tick("csr_ids", state.select("id"), count=False)
+    seeds, seed_cnt = runner.tick("seeds", state.where("fw").select("id"), detach=False)
+    sides = {
+        "f": {"edges": ef, "vis": seeds, "front": seeds, "cnt": seed_cnt,
+              "counter": "FWD_iterations", "slot": "f"},
+        "b": {"edges": eb, "vis": seeds, "front": seeds, "cnt": seed_cnt,
+              "counter": "BWD_iterations", "slot": "b"},
+    }
+
+    def step(s):
+        runner.bump(s["counter"])
+        s_in = (
+            ids.join(s["vis"].withColumn("v", F.lit(True)), "id", "left")
+            .join(s["front"].withColumn("f", F.lit(True)), "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("v"), F.lit(False)).alias("vis"),
+                F.coalesce(F.col("f"), F.lit(False)).alias("fr"),
+            )
+        )
+        out = (
+            s["edges"].groupBy("p")
+            .cogroup(s_in.groupBy((F.col("id") / block).cast("long").alias("p")))
+            .applyInPandas(kernel, "id long, local boolean")
+        )
+        out, _ = runner.tick(f"csr_out_{s['slot']}", out, count=False)
+        new_local, _ = runner.tick(f"csr_nl_{s['slot']}", out.where("local").select("id"), count=False)
+        new_remote = (
+            out.where(~F.col("local")).select("id")
+            .join(s["vis"], "id", "left_anti")
+            .join(new_local, "id", "left_anti")
+        )
+        new_remote, r_cnt = runner.tick(f"front_{s['slot']}", new_remote, detach=False)
+        vis, _ = runner.tick(
+            f"vis_{s['slot']}",
+            s["vis"].unionByName(new_local).unionByName(new_remote),
+            count=False,
+            detach=False,
+        )
+        s["vis"], s["front"], s["cnt"] = vis, new_remote, r_cnt
 
     hops = 0
-    while f_cnt > 0 or b_cnt > 0:
-        hops += 1
-        if hops > max_bfs_hops:
-            raise RuntimeError("CSR BFS exceeded max hops")
-        runner.log("csr_hop", hop=hops, f=f_cnt, b=b_cnt)
-        # materialize all per-direction deltas BEFORE replacing state (a
-        # released localCheckpoint cannot be recomputed)
-        deltas = {}
-        for flag, edf, frontier, cnt, counter in (
-            ("fw", ef, ff, f_cnt, "FWD_iterations"),
-            ("bw", eb, fb, b_cnt, "BWD_iterations"),
-        ):
-            if cnt == 0:
-                continue
-            runner.bump(counter)
-            s_in = (
-                state.select("id", F.col(flag).alias("vis"))
-                .join(frontier.withColumn("fr", F.lit(True)), "id", "left")
-                .select("id", "vis", F.coalesce(F.col("fr"), F.lit(False)).alias("fr"))
-            )
-            out = (
-                edf.groupBy("p")
-                .cogroup(s_in.groupBy((F.col("id") / block).cast("long").alias("p")))
-                .applyInPandas(kernel, "id long, local boolean")
-            )
-            out, o_cnt = runner.tick(f"csr_out_{flag}", out)
-            runner.log("csr_out", flag=flag, rows=o_cnt)
-            new_local, _ = runner.tick(f"csr_nl_{flag}", out.where("local").select("id"))
-            new_remote = (
-                out.where(~F.col("local"))
-                .select("id")
-                .join(state.where(~F.col(flag)).select("id"), "id", "left_semi")
-                .join(new_local, "id", "left_anti")
-            )
-            slot = "ff" if flag == "fw" else "fb"
-            new_remote, r_cnt = runner.tick(slot, new_remote)
-            deltas[flag] = (new_local, new_remote, r_cnt)
-
-        f_cnt = deltas["fw"][2] if "fw" in deltas else 0
-        b_cnt = deltas["bw"][2] if "bw" in deltas else 0
-        ff = deltas["fw"][1] if "fw" in deltas else ff
-        fb = deltas["bw"][1] if "bw" in deltas else fb
-
-        upd_frames = [
-            nl.unionByName(nr).select(
-                "id", F.lit(flag == "fw").alias("nf"), F.lit(flag == "bw").alias("nb")
-            )
-            for flag, (nl, nr, _) in deltas.items()
-        ]
-        if upd_frames:
-            upd = upd_frames[0]
-            for m in upd_frames[1:]:
-                upd = upd.unionByName(m)
-            upd = upd.groupBy("id").agg(F.max("nf").alias("nf"), F.max("nb").alias("nb"))
-            state = state.join(upd, "id", "left").select(
-                "id",
-                "range",
-                (F.col("fw") | F.coalesce(F.col("nf"), F.lit(False))).alias("fw"),
-                (F.col("bw") | F.coalesce(F.col("nb"), F.lit(False))).alias("bw"),
-            )
-            state, _ = runner.tick("state", state)
-    for s in ("csr_out_fw", "csr_out_bw", "csr_nl_fw", "csr_nl_bw", "csr_ef", "csr_eb"):
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        while sides["f"]["cnt"] > 0 or sides["b"]["cnt"] > 0:
+            hops += 1
+            if hops > max_bfs_hops:
+                raise RuntimeError("CSR BFS exceeded max hops")
+            futs = [pool.submit(step, s) for s in sides.values() if s["cnt"] > 0]
+            for fut in futs:
+                fut.result()
+    final = _assemble_state(runner, state, sides["f"]["vis"], sides["b"]["vis"])
+    for s in ("csr_out_f", "csr_out_b", "csr_nl_f", "csr_nl_b", "csr_ef", "csr_eb",
+              "csr_ids", "seeds", "front_f", "front_b", "vis_f", "vis_b"):
         runner.release(s)
-    return state, hops
+    return final, hops
 
 
-def _trim1_fixpoint(runner, re, re_cnt, active, a_cnt, emit_done):
+def _trim1_fixpoint(runner, re, re_cnt, active, a_cnt, emit_done, max_iters=4):
     """Iteratively retire vertices with zero residual in- or out-edges
     (singleton SCCs) — reference trim1,
     /root/reference/src/scc_kernels.cu:187-233. Operates purely on the
-    residual edge set, filtering it down as vertices retire."""
-    while a_cnt > 0:
+    residual edge set, filtering it down as vertices retire. Bounded at
+    max_iters per round: the geometric tail isn't worth a Spark job per
+    handful of rows, and missed stragglers retire in later rounds."""
+    iters = 0
+    while a_cnt > 0 and iters < max_iters:
+        iters += 1
         runner.bump("Trimm_iterations")
         has_out = re.select(F.col("src").alias("id")).distinct()
         has_in = re.select(F.col("dst").alias("id")).distinct()
@@ -538,6 +546,7 @@ def _trim1_fixpoint(runner, re, re_cnt, active, a_cnt, emit_done):
                 re.join(sv.withColumnRenamed("id", "src"), "src", "left_semi").join(
                     sv.withColumnRenamed("id", "dst"), "dst", "left_semi"
                 ).select("src", "dst", "range"),
+                detach=False,
             )
         runner.promote("active_next", "active")
         active, a_cnt = survivors, s_cnt
@@ -588,6 +597,7 @@ def _trim2(runner, re, re_cnt, active, a_cnt, emit_done):
         re.join(rt.withColumnRenamed("id", "src"), "src", "left_anti").join(
             rt.withColumnRenamed("id", "dst"), "dst", "left_anti"
         ).select("src", "dst", "range"),
+        detach=False,
     )
     runner.log("trim2", retired=r_cnt, active=a_cnt)
     runner.release("t2pairs")
@@ -604,7 +614,7 @@ def _decompose(runner, re, active, a_cnt, iters):
     und = re.select("src", "dst").unionByName(
         re.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    und, _ = runner.tick("dec_edges", und.repartition("src"), truncate=False)
+    und, _ = runner.tick("dec_edges", und.repartition("src"), truncate=False, detach=False)
 
     lab, _ = runner.tick("dec_lab", active.select("id", F.col("id").alias("label")))
     prev_sum = lab.agg(F.sum("label")).first()[0]

@@ -51,6 +51,9 @@ class SuperstepRunner:
         self.checkpoint_interval = max(1, checkpoint_interval)
         self.collect_lineage = collect_lineage
         self.superstep = 0
+        import threading
+
+        self._lock = threading.Lock()  # ticks may run from worker threads
         # counter parity with the reference's instrumentation
         # (/root/reference/src/scc_WCC.cu:600-603)
         self.counters = {
@@ -66,25 +69,46 @@ class SuperstepRunner:
 
     # ---- persistence discipline -------------------------------------
 
-    def tick(self, name: str, df: DataFrame, truncate: bool = True) -> tuple[DataFrame, int]:
-        """Persist `df` as the new value of slot `name`, count it (the
-        action that also materializes it), release the previous value, and
-        truncate lineage. Returns (materialized df, row count)."""
+    def tick(
+        self,
+        name: str,
+        df: DataFrame,
+        truncate: bool = True,
+        count: bool = True,
+        detach: bool = True,
+    ) -> tuple[DataFrame, int | None]:
+        """Persist `df` as the new value of slot `name`, optionally count
+        it, release the previous value, and truncate lineage. Returns
+        (materialized df, row count | None). Pass count=False when the
+        count is not needed for control flow — saves one job per tick.
+
+        detach=True (default) rebuilds the frame via a Row-RDD round trip
+        to RESET carried statistics (see _detach) — required for frames
+        whose plans re-reference themselves multiplicatively across
+        supersteps (state/active style). It costs a Row<->InternalRow
+        conversion on every downstream scan, so pass detach=False for
+        large edge/visited frames whose statistics only compound
+        additively (semi/anti joins and unions keep sizeInBytes linear in
+        the superstep count)."""
         if truncate:
             # eager localCheckpoint both materializes and cuts the plan
             new = df.localCheckpoint(eager=True)
-            cnt = new.count()
+            cnt = new.count() if count else None
         else:
             new = df.persist(StorageLevel.MEMORY_AND_DISK)
             cnt = new.count()
-        old = self._live.get(name)
-        self._live[name] = new
+        with self._lock:
+            old = self._live.get(name)
+            self._live[name] = new
         if old is not None:
             try:
                 old.unpersist()
             except Exception:
                 pass
-        return self._detach(new), cnt
+        if detach:
+            return self._detach(new), cnt
+        # fresh expression ids only (no stats reset, no conversion cost)
+        return new.select([F.col(c).alias(c) for c in new.columns]), cnt
 
     def _detach(self, df: DataFrame) -> DataFrame:
         """Wrap a materialized frame as a fresh JVM DataFrame.
