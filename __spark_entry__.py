@@ -60,6 +60,22 @@ def q_scc(spark, sf_dir):
     return strongly_connected_components(spark, _edges(spark, sf_dir), local_finish_edges=20_000)
 
 
+def q_scc_partitioned(spark, sf_dir):
+    """detectSCC analog: per-partition local Tarjan + condensation merge
+    (same output contract as q_scc -> same SQL oracle)."""
+    from detectingscc_spark.operators.partitioned import scc_partitioned
+
+    return scc_partitioned(spark, _edges(spark, sf_dir), n_parts=8, local_finish_edges=20_000)
+
+
+def q_scc_coloring(spark, sf_dir):
+    """vSlota/wSlota analog: max-color propagation + class-confined BFS
+    (same output contract as q_scc -> same SQL oracle)."""
+    from detectingscc_spark.operators.coloring import scc_coloring
+
+    return scc_coloring(spark, _edges(spark, sf_dir))
+
+
 def q_scc_sizes(spark, sf_dir):
     scc = q_scc(spark, sf_dir)
     return (
@@ -301,6 +317,8 @@ def q_sessionize(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scc": q_scc,
+        "scc_partitioned": q_scc_partitioned,
+        "scc_coloring": q_scc_coloring,
         "scc_sizes": q_scc_sizes,
         "wcc": q_wcc,
         "degrees": q_degrees,
@@ -601,6 +619,8 @@ FROM sid GROUP BY user_id, session_seq
 def oracle_sql() -> dict[str, str]:
     return {
         "scc": SCC_SQL,
+        "scc_partitioned": SCC_SQL,
+        "scc_coloring": SCC_SQL,
         "scc_sizes": SCC_SIZES_SQL,
         "wcc": WCC_SQL,
         "degrees": DEGREES_SQL,

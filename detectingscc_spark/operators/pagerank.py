@@ -60,8 +60,11 @@ def pagerank(
     for i in range(iters):
         runner.superstep = i + 1
         runner.bump("iterations")
-        dangling_mass = (
-            rank.join(dangling_ids, "id", "left_semi").agg(F.sum("rank")).first()[0] or 0.0
+        # dangling mass folded into the same plan as a broadcast 1-row
+        # cross join -> ONE job per iteration instead of three
+        dm = (
+            rank.join(dangling_ids, "id", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         contrib = (
             Ew.join(rank.withColumnRenamed("id", "src"), "src")
@@ -69,11 +72,19 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
             .select(F.col("dst").alias("id"), "c")
         )
-        base = (1.0 - damping) / n + damping * dangling_mass / n
-        new_rank = verts.join(contrib, "id", "left").select(
-            "id", (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank")
+        new_rank = (
+            verts.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
+                ).alias("rank"),
+            )
         )
-        new_rank, _ = runner.tick("rank_next", new_rank)
+        new_rank, _ = runner.tick("rank_next", new_rank, count=(fixed_iters is None))
         if fixed_iters is None:
             delta = (
                 new_rank.join(rank.withColumnRenamed("rank", "prev"), "id")

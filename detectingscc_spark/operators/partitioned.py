@@ -1,0 +1,106 @@
+"""Partitioned SCC: partition-local compute + condensation merge — the
+Spark-native re-architecture of the reference's `detectSCC`
+(/root/reference/src/scc_WCC.cu:1000-1577).
+
+The reference runs METIS-partition-confined FB rounds, then materializes
+per-vertex reachability closures as host std::sets and intersects them
+pairwise up a partition-merge tree (/root/reference/src/scc_WCC.cu:
+1276-1329, 1345-1528) — quadratic memory and a 10,001-edge device cap.
+Here the merge is replaced by ONE contraction, which is exactly the
+"predicate relaxation" translation SURVEY.md §3.3 calls for:
+
+  1. local phase: Tarjan per partition-induced subgraph inside
+     applyInPandas (each partition's subgraph fits one executor by
+     construction — the same assumption detectSCC makes of a METIS part);
+     local label = min member id of the partition-local SCC.
+  2. contraction: every edge (u,v) -> (L(u), L(v)); local SCCs are always
+     subsets of global SCCs, so contracting them preserves the SCC
+     structure (the condensation-of-subgraph lemma).
+  3. global phase: the distributed FB-Trim engine on the (much smaller)
+     contracted graph; final scc_id(v) = scc_id(L(v)), which stays the
+     min member id because local labels are themselves min member ids.
+
+Equivalence with the global engine is tested (tests/test_partitioned.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .scc import _tarjan_local, strongly_connected_components
+
+
+def scc_partitioned(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    *,
+    n_parts: int = 32,
+    partitions: DataFrame | None = None,
+    **scc_kwargs,
+) -> DataFrame:
+    """(id, scc_id) with scc_id = min member id; identical to
+    strongly_connected_components, computed partition-first.
+
+    `partitions`: optional (id, part) label table (the METIS analog,
+    /root/reference/src/load.cpp:115-130); default hash partitioning
+    id % n_parts.
+    """
+    E = (
+        edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    verts = E.select(F.col("src").alias("id")).union(E.select(F.col("dst").alias("id"))).distinct()
+    if vertices is not None:
+        verts = verts.union(vertices.select(F.col("id").cast("long"))).distinct()
+
+    if partitions is not None:
+        vp = verts.join(
+            partitions.select(F.col("id").cast("long"), F.col("part").cast("long")), "id", "left"
+        ).select("id", F.coalesce("part", F.col("id") % n_parts).alias("part"))
+    else:
+        vp = verts.select("id", (F.col("id") % n_parts).cast("long").alias("part"))
+
+    # ---- phase 1: partition-local SCC (Tarjan per subgraph, Arrow) ----
+    local_edges = (
+        E.join(vp.select(F.col("id").alias("src"), F.col("part").alias("sp")), "src")
+        .join(vp.select(F.col("id").alias("dst"), F.col("part").alias("dp")), "dst")
+        .where(F.col("sp") == F.col("dp"))
+        .select(F.col("sp").alias("part"), "src", "dst")
+    )
+
+    def local_scc(key, epdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+        ids = vpdf["id"].tolist()
+        rows = list(zip(epdf["src"].tolist(), epdf["dst"].tolist())) if len(epdf) else []
+        labels = _tarjan_local(rows, ids)
+        return pd.DataFrame({"id": ids, "lbl": [labels[v] for v in ids]})
+
+    local = (
+        local_edges.groupBy("part")
+        .cogroup(vp.groupBy("part"))
+        .applyInPandas(local_scc, "id long, lbl long")
+    )
+    local = local.persist()
+    local.count()
+
+    # ---- phase 2: contract local SCCs, run the global engine ----------
+    lu = local.select(F.col("id").alias("src"), F.col("lbl").alias("lsrc"))
+    lv = local.select(F.col("id").alias("dst"), F.col("lbl").alias("ldst"))
+    condensed = (
+        E.join(lu, "src").join(lv, "dst")
+        .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    cond_verts = local.select(F.col("lbl").alias("id")).distinct()
+    global_scc = strongly_connected_components(spark, condensed, cond_verts, **scc_kwargs)
+
+    # ---- map back -----------------------------------------------------
+    out = (
+        local.join(global_scc.withColumnRenamed("id", "lbl"), "lbl")
+        .select("id", "scc_id")
+    )
+    return out

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..plans.superstep import SuperstepRunner
 
-BROADCAST_ROW_LIMIT = 2_000_000
+BROADCAST_ROW_LIMIT = 300_000
 
 
 def _bc(df: DataFrame, cnt: int | None) -> DataFrame:
@@ -271,7 +271,12 @@ def strongly_connected_components(
             )
 
         # ---- refresh residual for current membership + ranges ---------
-        re, re_cnt = refresh_residual(re, active, a_cnt)
+        # (round 1 after a cold start is a no-op: every vertex is active
+        # in range 0 and the initial residual IS the canonical edge set)
+        if rnd == 1 and resumed is None:
+            re_cnt = re.count()
+        else:
+            re, re_cnt = refresh_residual(re, active, a_cnt)
 
         # ---- optional range decomposition (weak components of residual)
         # (after refresh: must only see same-CURRENT-range edges, else it
@@ -386,7 +391,7 @@ def _assemble_state(runner, state, vis_f, vis_b):
     return out
 
 
-def _bfs_join(runner, re_f, re_b, state, max_bfs_hops):
+def _bfs_join(runner, re_f, re_b, state, max_bfs_hops, unroll=4):
     """Frontier-join BFS: one DataFrame join per hop per direction, both
     directions submitted concurrently (independent Spark jobs). Visited
     sets are maintained as growing id frames — the per-hop state is never
@@ -403,16 +408,27 @@ def _bfs_join(runner, re_f, re_b, state, max_bfs_hops):
               "cnt": seed_cnt, "counter": "BWD_iterations", "slot": "b"},
     }
 
-    def step(s):
-        runner.bump(s["counter"])
+    def step(s, unroll):
+        # expand `unroll` hops inside ONE Spark job: join+distinct+anti-vis
+        # per level, union of levels ticked once. Cuts the per-superstep
+        # fixed cost (driver round trips, job scheduling) by ~unroll x;
+        # intra-window re-visits are bounded by the per-level distinct.
         jk, ok = s["key"]
-        cand = (
-            s["edges"].join(_bc(s["front"].withColumnRenamed("id", jk), s["cnt"]), jk)
-            .select(F.col(ok).alias("id"))
-            .distinct()
-        )
-        new = cand.join(s["vis"], "id", "left_anti")
-        new, n_cnt = runner.tick(f"front_{s['slot']}", new, detach=False)
+        level = s["front"]
+        acc = None
+        for _ in range(unroll):
+            runner.bump(s["counter"])
+            level = (
+                s["edges"].join(_bc(level.withColumnRenamed("id", jk), s["cnt"]), jk)
+                .select(F.col(ok).alias("id"))
+                .distinct()
+                .join(s["vis"], "id", "left_anti")
+            )
+            acc = level if acc is None else acc.unionByName(level)
+        # acc = every vertex discovered in this window (they all enter vis;
+        # all but the last level were already expanded, re-expanding them
+        # next window is bounded waste and keeps the loop simple+correct)
+        new, n_cnt = runner.tick(f"front_{s['slot']}", acc.distinct(), detach=False)
         if n_cnt:
             vis, _ = runner.tick(
                 f"vis_{s['slot']}", s["vis"].unionByName(new), count=False, detach=False
@@ -420,15 +436,22 @@ def _bfs_join(runner, re_f, re_b, state, max_bfs_hops):
             s["vis"] = vis
         s["front"], s["cnt"] = new, n_cnt
 
+    import os
+    parallel_dirs = os.environ.get("SCC_PARALLEL_DIRS", "1") == "1"
     hops = 0
     with ThreadPoolExecutor(max_workers=2) as pool:
         while sides["f"]["cnt"] > 0 or sides["b"]["cnt"] > 0:
             hops += 1
             if hops > max_bfs_hops:
                 raise RuntimeError("BFS exceeded max hops")
-            futs = [pool.submit(step, s) for s in sides.values() if s["cnt"] > 0]
-            for fut in futs:
-                fut.result()
+            live = [s for s in sides.values() if s["cnt"] > 0]
+            if parallel_dirs:
+                futs = [pool.submit(step, s, unroll) for s in live]
+                for fut in futs:
+                    fut.result()
+            else:
+                for s in live:
+                    step(s, unroll)
     final = _assemble_state(runner, state, sides["f"]["vis"], sides["b"]["vis"])
     for slot in ("seeds", "front_f", "front_b", "vis_f", "vis_b"):
         runner.release(slot)

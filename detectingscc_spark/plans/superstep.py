@@ -127,6 +127,16 @@ class SuperstepRunner:
             statistics.
         """
         try:
+            # zero-copy: rewrap the materialized InternalRow RDD as a new
+            # LogicalRDD leaf (fresh attrs, no originStats, no encoder)
+            jdf = df._jdf
+            jnew = self.spark._jsparkSession.internalCreateDataFrame(
+                jdf.queryExecution().toRdd(), jdf.schema(), False
+            )
+            return DataFrame(jnew, self.spark)
+        except Exception:
+            pass
+        try:
             jdf = df._jdf
             jnew = self.spark._jsparkSession.createDataFrame(jdf.rdd(), jdf.schema())
             return DataFrame(jnew, self.spark)

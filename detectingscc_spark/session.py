@@ -51,6 +51,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # iterative algorithms re-plan every superstep; keep planner quiet
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # superstep loops create/release thousands of checkpoint RDDs and
+        # broadcasts; their cleanup is weak-reference-driven, so force GC
+        # often enough that the ContextCleaner actually runs (default 30min
+        # leaves a backlog that shows up as multi-second job-latency jitter)
+        .config("spark.cleaner.periodicGC.interval", "15s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

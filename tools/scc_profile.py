@@ -8,10 +8,21 @@ from detectingscc_spark.plans.superstep import SuperstepRunner
 
 n = int(os.environ.get("N", "100000"))
 expand = os.environ.get("EXPAND", "join")
-spark = get_spark(app_name="profile")
-corpus = generate_corpus(spark, n).persist(); corpus.count()
-verts, edges, _ = ingest(spark, edges_corpus := corpus)
-edges = edges.persist(); ne = edges.count()
+import os as _os
+_master = _os.environ.get("MASTER")
+_extra = {}
+if _master and _master.startswith("local-cluster"):
+    _cores = _os.environ.get("EXEC_CORES", "4")
+    _extra = {"spark.executor.extraJavaOptions": f"-XX:ActiveProcessorCount={_cores}"}
+spark = get_spark(app_name="profile", master=_master, extra_conf=_extra)
+if os.environ.get("RULE_EDGES", "0") == "1":
+    from detectingscc_spark.corpus import expected_edges
+    edges = expected_edges(spark, n).persist(); ne = edges.count()
+    verts = spark.range(n).withColumnRenamed("id", "id").select("id")
+else:
+    corpus = generate_corpus(spark, n).persist(); corpus.count()
+    verts, edges, _ = ingest(spark, corpus)
+    edges = edges.persist(); ne = edges.count()
 
 class T(SuperstepRunner):
     t0 = time.time()
@@ -24,7 +35,8 @@ class T(SuperstepRunner):
 
 r = T(spark)
 t0 = time.time()
-res = strongly_connected_components(spark, edges, verts.select("id"),
-        runner=r, local_finish_edges=100_000, expand=expand)
+res = strongly_connected_components(spark, edges, verts.select("id") if "fid" in getattr(verts, "columns", []) or "repo" in getattr(verts, "columns", []) else verts,
+        runner=r, local_finish_edges=int(os.environ.get("LOCAL_FINISH", "100000")), expand=expand,
+        trim_iters=int(os.environ.get("TRIM_ITERS", "4")))
 cnt = res.count()
 print(json.dumps({"n": n, "edges": ne, "wall": time.time()-t0, "counters": r.counters, "expand": expand}), flush=True)
