@@ -2,15 +2,17 @@
 
 queries() cover SURVEY.md §2 (graph operators over a testdata-derived
 edge table) plus the training-data pipeline operators (dedup, similarity,
-text analysis). Every SQL-expressible operator has a DuckDB oracle whose
-arithmetic mirrors the Spark expressions verbatim; genuinely non-SQL ops
-(pagerank's per-iteration scalar agg, LPA's recursive mode(), simhash,
-approximate ANN, corpus ingest+SCC) are rows-only checked here and
-exactness-tested against numpy/Tarjan oracles in tests/.
+text analysis). EVERY query has a DuckDB oracle whose arithmetic mirrors
+the Spark expressions verbatim: fixed-depth iterative algorithms
+(pagerank 20 iters, LPA 4 rounds) are unrolled as generated CTE chains;
+simhash/ANN use sha256-derived hash/weight families available in both
+engines; the corpus SCC round-trips its extracted edge table through
+parquet so the recursive-CTE SCC oracle can read it.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -140,17 +142,28 @@ def q_lpa(spark, sf_dir):
     return label_propagation(spark, _edges(spark, sf_dir), rounds=4)
 
 
+_CORPUS_ART = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".artifacts", "corpus_scc"
+)
+
+
 def q_corpus_scc(spark, sf_dir):
     """Ingest path end-to-end: synthetic corpus -> pandas-UDF edge
-    extraction -> SCC (rows-only check; exactness in tests/)."""
+    extraction -> SCC. The extracted vertex/edge tables are written to
+    parquet so the DuckDB recursive-CTE SCC oracle checks the SAME graph
+    this query decomposes (full-value gate, not rows-only)."""
     from detectingscc_spark.corpus import generate_corpus
     from detectingscc_spark.ingest import ingest
     from detectingscc_spark.operators.scc import strongly_connected_components
 
     corpus = generate_corpus(spark, 2000)
     verts, edges, _ = ingest(spark, corpus, use_pandas=True)
+    verts = verts.select("id")
+    edges = edges.select("src", "dst")
+    edges.write.mode("overwrite").parquet(f"{_CORPUS_ART}/edges")
+    verts.write.mode("overwrite").parquet(f"{_CORPUS_ART}/verts")
     return strongly_connected_components(
-        spark, edges, verts.select("id"), local_finish_edges=20_000
+        spark, edges, verts, local_finish_edges=20_000
     )
 
 
@@ -607,13 +620,196 @@ WITH marked AS (
 ),
 sid AS (
   SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         -- ::BIGINT: DuckDB window sum yields HUGEINT; Spark yields BIGINT
+         -- (values identical, typed-row hash differs without the cast)
+         (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
   FROM marked
 )
 SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start
 FROM sid GROUP BY user_id, session_seq
 """
+
+
+def _pagerank_sql(iters: int = 20, damping: float = 0.85) -> str:
+    """PageRank unrolled as `iters` chained CTEs — mirrors
+    operators/pagerank.py expression by expression ((1-d)/n, dangling
+    mass dm/n, contrib sum(rank*w)) in the same IEEE-754 op order, so the
+    doubles agree bit-for-bit modulo sum reordering (final round to 8dp
+    absorbs that)."""
+    steps = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT v.id,
+         (1.0::DOUBLE - {damping}::DOUBLE) / nn.n
+         + {damping}::DOUBLE * (coalesce(c.c, 0.0::DOUBLE) + dm.dm / nn.n) AS rank
+  FROM v
+  CROSS JOIN nn
+  CROSS JOIN (SELECT coalesce(sum(rank), 0.0::DOUBLE) AS dm
+              FROM {prev} WHERE id IN (SELECT id FROM dang)) dm
+  LEFT JOIN (SELECT ew.dst AS id, sum(r.rank * ew.w) AS c
+             FROM ew JOIN {prev} r ON ew.src = r.id GROUP BY ew.dst) c
+    ON v.id = c.id
+)"""
+        )
+        prev = f"r{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_E}, {_VERTS},
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM v),
+od AS MATERIALIZED (SELECT src AS id, count(*)::DOUBLE AS od FROM e GROUP BY src),
+ew AS MATERIALIZED (SELECT e.src, e.dst, 1.0::DOUBLE / od.od AS w FROM e JOIN od ON e.src = od.id),
+dang AS MATERIALIZED (SELECT id FROM v WHERE id NOT IN (SELECT id FROM od)),
+r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM v),
+{chain}
+SELECT id, round(rank, 8) AS rank8 FROM {prev}
+"""
+
+
+PAGERANK_SQL = _pagerank_sql(iters=20, damping=0.85)
+
+
+def _lpa_sql(rounds: int = 4) -> str:
+    """Synchronous LPA unrolled as `rounds` CTEs. Winner per vertex =
+    neighbor label with max count, ties -> MIN label — exactly
+    max_by(nl, struct(c, -nl)) in operators/lpa.py. All-integer: exact."""
+    steps = []
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT l.id, coalesce(w.winner, l.label) AS label
+  FROM {prev} l LEFT JOIN (
+    SELECT dst AS id, nl AS winner FROM (
+      SELECT und.dst, p.label AS nl, count(*) AS c,
+             row_number() OVER (PARTITION BY und.dst
+                                ORDER BY count(*) DESC, p.label ASC) AS rn
+      FROM und JOIN {prev} p ON und.src = p.id
+      GROUP BY und.dst, p.label
+    ) t WHERE rn = 1
+  ) w ON l.id = w.id
+)"""
+        )
+        prev = f"l{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_E},
+und AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+v AS (SELECT DISTINCT src AS id FROM und),
+l0 AS MATERIALIZED (SELECT id, id AS label FROM v),
+{chain}
+SELECT id, label FROM {prev}
+"""
+
+
+LPA_SQL = _lpa_sql(rounds=4)
+
+
+CORPUS_SCC_SQL = f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT src, dst
+      FROM read_parquet('{_CORPUS_ART}/edges/*.parquet') WHERE src <> dst),
+v AS (SELECT DISTINCT id FROM read_parquet('{_CORPUS_ART}/verts/*.parquet')),
+reach(a, b) AS (SELECT src, dst FROM e UNION
+                SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+mutual AS (
+  SELECT r1.a, r1.b FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT v.id AS id, least(v.id, coalesce(min(m.b), v.id)) AS scc_id
+FROM v LEFT JOIN mutual m ON v.id = m.a
+GROUP BY v.id
+"""
+
+
+def _simhash_sql() -> str:
+    """Mirrors functions/dedup.py simhash: token hash = first 16 hex of
+    sha256(token); 64 per-bit strict-majority votes; 16-char hex output."""
+    hex_ = "0123456789abcdef"
+    sums, chars = [], []
+    for j in range(1, 17):
+        dig = f"(strpos('{hex_}', substring(sha, {j}, 1)) - 1)"
+        for b in range(4):
+            sums.append(f"sum(({dig} >> {b}) & 1) AS s{j}_{b}")
+        val = " + ".join(
+            f"(CASE WHEN 2 * s{j}_{b} > n THEN {1 << b} ELSE 0 END)" for b in range(4)
+        )
+        chars.append(f"substring('{hex_}', 1 + ({val}), 1)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM documents, LATERAL unnest(string_split_regex(text, '\\s+')) AS t(tok)
+  WHERE length(tok) > 0
+),
+h AS (SELECT doc_id, sha256(tok) AS sha FROM toks),
+agg AS (SELECT doc_id, count(*) AS n, {", ".join(sums)} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, concat({", ".join(chars)}) AS simhash FROM agg)
+SELECT d.doc_id, coalesce(sh.simhash, '{"0" * 16}') AS simhash
+FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+def _ann_lsh_sql(
+    query_ids=(0, 1, 2, 3, 4), k: int = 5, n_planes: int = 8,
+    n_tables: int = 20, probe_hamming: int = 1, seed: int = 7, dims: int = 64,
+) -> str:
+    """Mirrors functions/similarity.py ann_topk_lsh with the SAME literal
+    plane-weight matrices and probe mask list (both sha256-derived and
+    generated by the shared Python helpers)."""
+    from detectingscc_spark.functions.similarity import plane_weights, probe_offsets
+
+    def bucket_expr(table_seed: int) -> str:
+        W = plane_weights(n_planes, table_seed, dims)
+        return " + ".join(
+            "(CASE WHEN list_dot_product(v[1:{d}], [{w}]::DOUBLE[]) >= 0"
+            " THEN {v2p} ELSE 0 END)".format(
+                d=dims, w=",".join(repr(x) for x in W[p]), v2p=1 << p
+            )
+            for p in range(n_planes)
+        )
+
+    bk_parts = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, ({bucket_expr(seed + 1000 * t)}) AS bucket FROM base"
+        for t in range(n_tables)
+    )
+    probes = ", ".join(f"xor(bucket, {m})" for m in probe_offsets(n_planes, probe_hamming))
+    ids = ",".join(str(int(i)) for i in query_ids)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS norm
+  FROM embeddings
+),
+bk AS MATERIALIZED ({bk_parts}),
+qp AS (
+  SELECT q.vec_id AS query_id, q.tbl, p.b AS bucket
+  FROM (SELECT * FROM bk WHERE vec_id IN ({ids})) q,
+       LATERAL unnest([{probes}]) AS p(b)
+),
+cand AS (
+  SELECT DISTINCT qp.query_id, bk.vec_id
+  FROM qp JOIN bk ON bk.tbl = qp.tbl AND bk.bucket = qp.bucket
+  WHERE bk.vec_id <> qp.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(q.v, b.v) / (q.norm * b.norm), 6) AS cos
+  FROM cand c JOIN base b ON b.vec_id = c.vec_id JOIN base q ON q.vec_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+ANN_LSH_SQL = _ann_lsh_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -640,7 +836,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups": EMBEDDING_DUPS_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "sessionize": SESSIONIZE_SQL,
-        # pagerank, lpa, scc on corpus, simhash, ann_lsh: rows-only
-        # (non-SQL-expressible: per-iteration scalar aggregates / recursive
-        # mode() / python hash family / approximate results)
+        "pagerank": PAGERANK_SQL,
+        "lpa": LPA_SQL,
+        "corpus_scc": CORPUS_SCC_SQL,
+        "simhash": SIMHASH_SQL,
+        "ann_lsh": ANN_LSH_SQL,
     }

@@ -71,6 +71,17 @@ def main():
     extras["scc_edges_per_sec"] = round(n_edges / timings["scc"], 1)
     extras["scc_n_edges"] = n_edges
 
+    # pure-distributed number: no driver-side Tarjan tail at all, so the
+    # headline is not partly a measurement of single-threaded driver python
+    def do_scc_distributed():
+        return strongly_connected_components(
+            spark, edges, verts.select("id"), local_finish_edges=0
+        ).count()
+
+    n = timed("scc_distributed", do_scc_distributed)
+    assert n == N_FILES, f"scc_distributed covered {n}/{N_FILES} vertices"
+    extras["scc_distributed_edges_per_sec"] = round(n_edges / timings["scc_distributed"], 1)
+
     timed("pagerank_20it", lambda: pagerank(spark, edges, verts.select("id"), fixed_iters=20).count())
     timed("wcc", lambda: connected_components(spark, edges, verts.select("id")).count())
     timed("lpa_5r", lambda: label_propagation(spark, edges, verts.select("id"), rounds=5).count())

@@ -32,12 +32,21 @@ def main():
     ap.add_argument("--local-finish-edges", type=int, default=0)
     ap.add_argument("--n-parts", type=int, default=32)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "-w", "--warp-size", type=int, default=None,
+        help="reference -w parity (src/scc.cu:48-50). GPU warp size has no "
+        "Spark analog; when set it is mapped to the closest knob — "
+        "spark.sql.shuffle.partitions (shuffle-side parallelism grain).",
+    )
     args = ap.parse_args()
 
     from .session import get_spark
     from .sources.gtgraph import gtgraph_meta, read_gtgraph
 
-    spark = get_spark(app_name=f"detectingscc-{args.algo}", master=args.master)
+    spark = get_spark(
+        app_name=f"detectingscc-{args.algo}", master=args.master,
+        shuffle_partitions=args.warp_size,
+    )
     if args.input.endswith(".gr"):
         edges = read_gtgraph(spark, args.input)
         v, _ = gtgraph_meta(spark, args.input)
@@ -48,7 +57,18 @@ def main():
 
     from .plans.superstep import SuperstepRunner
 
-    runner = SuperstepRunner(spark, checkpoint_dir=args.checkpoint_dir, run_id=args.algo)
+    import hashlib
+
+    fp = hashlib.sha256(
+        "|".join(
+            str(x)
+            for x in (args.input, args.algo, args.no_trim2, args.trim_iters,
+                      args.local_finish_edges, args.n_parts)
+        ).encode()
+    ).hexdigest()[:16]
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=args.checkpoint_dir, run_id=args.algo, fingerprint=fp
+    )
     t0 = time.time()
     if args.algo in ("scc", "scc-csr"):
         from .operators.scc import strongly_connected_components

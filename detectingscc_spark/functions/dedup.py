@@ -5,8 +5,12 @@
                    self-join -> candidate near-dup pairs. Hash family =
                    sha256(salt || shingle) so the EXACT same signature is
                    reproducible in any engine with sha256 (DuckDB oracle).
-  simhash          64-bit SimHash over tokens, Arrow-vectorized numpy
-                   (bit-parallel; Spark-only semantics, rows-only check)
+  simhash          64-bit SimHash over whitespace tokens, entirely
+                   JVM-side: token hash = first 16 hex chars of
+                   sha256(token), per-bit majority votes as 64 conditional
+                   sums in ONE groupBy. Output is the 16-char lowercase
+                   hex string — reproducible on any engine with sha256
+                   (DuckDB oracle), no Python hash() in the loop.
   ngram_jaccard    exact character-3-gram Jaccard for candidate pairs,
                    blocked by `source` to bound the pair space
   embedding_dups   cosine > threshold pairs over embeddings, blocked by
@@ -20,9 +24,6 @@ runs only on candidate pairs.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -86,32 +87,46 @@ def minhash_lsh_pairs(
     )
 
 
+_HEX = "0123456789abcdef"
+
+
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """(doc_id, simhash: long) — token-level SimHash, numpy bit-parallel
-    inside mapInPandas (Arrow batches; no per-row Python loops beyond the
-    unavoidable tokenization split)."""
-    import numpy as np
+    """(doc_id, simhash: string) — token-level 64-bit SimHash as a 16-char
+    lowercase hex string.
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_ids = pdf["doc_id"].values
-            hashes = []
-            for text in pdf["text"].values:
-                toks = text.split()
-                if not toks:
-                    hashes.append(0)
-                    continue
-                hv = np.array(
-                    [hash(t) & 0xFFFFFFFFFFFFFFFF for t in toks], dtype=np.uint64
-                )
-                bits_m = ((hv[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
-                votes = (2 * bits_m - 1).sum(axis=0)
-                sh = np.uint64(0)
-                sh = int(((votes > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum())
-                hashes.append(sh - (1 << 63))  # to signed long
-            yield pd.DataFrame({"doc_id": out_ids, "simhash": pd.array(hashes, dtype="int64")})
+    Token hash family = first 16 hex chars of sha256(token) (same
+    stable-hash approach as the MinHash family): deterministic across
+    drivers, clusters, Python versions — a correctness property for a
+    persisted dedup key. The per-bit +1/-1 votes are 64 conditional sums
+    computed in ONE hash aggregation (map-side partial agg; one shuffle
+    row per doc), whole-stage codegen end to end — no Python in the loop.
 
-    return docs.select("doc_id", "text").mapInPandas(compute, schema="doc_id long, simhash long")
+    Bit b of hex digit j (1-based, most-significant first) is set iff a
+    strict majority of tokens have that bit set in their hash; ties -> 0.
+    Docs with no tokens hash to all zeros.
+    """
+    if bits != 64:
+        raise ValueError("simhash: only bits=64 is supported")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    h = toks.select("doc_id", F.sha2(F.col("tok"), 256).alias("sha"))
+    aggs = [F.count("*").alias("n")]
+    for j in range(1, 17):
+        dig = f"(locate(substring(sha, {j}, 1), '{_HEX}') - 1)"
+        for b in range(4):
+            aggs.append(F.expr(f"sum(shiftright({dig}, {b}) & 1)").alias(f"s{j}_{b}"))
+    agg = h.groupBy("doc_id").agg(*aggs)
+    chars = []
+    for j in range(1, 17):
+        val = " + ".join(
+            f"(CASE WHEN 2 * s{j}_{b} > n THEN {1 << b} ELSE 0 END)" for b in range(4)
+        )
+        chars.append(f"substring('{_HEX}', 1 + ({val}), 1)")
+    sh = agg.select("doc_id", F.expr("concat(" + ", ".join(chars) + ")").alias("simhash"))
+    return docs.select("doc_id").join(sh, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit("0" * 16)).alias("simhash")
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.0) -> DataFrame:

@@ -3,18 +3,85 @@
   brute_force_topk  exact cosine top-k for a set of query vectors —
                     the correctness baseline. JVM-side zip_with/aggregate
                     dot products (no Python in the loop).
-  lsh_buckets       random-hyperplane LSH bucketing (sign bits from
-                    seeded deterministic pseudo-hyperplanes built with
-                    xxhash64 — no RNG state, reproducible on any cluster).
-  ann_topk_lsh      approximate top-k: probe only the query's bucket
-                    (the 100 TB path: bucket join instead of cross join).
+  lsh_buckets       random-hyperplane LSH bucketing. Plane weights are a
+                    deterministic sha256-derived constant matrix computed
+                    once on the driver and inlined as array literals — no
+                    RNG state, no per-row hashing, bit-identical on any
+                    engine (the DuckDB oracle embeds the same literals).
+  ann_topk_lsh      approximate top-k with L INDEPENDENT TABLES +
+                    multi-probe (OR-amplification): every vector gets L
+                    buckets in ONE scan; each query probes, per table,
+                    its own bucket plus all buckets within Hamming
+                    distance `probe_hamming`; the candidate union is then
+                    exactly re-ranked by cosine. Keeps the bucketed
+                    O(candidates) join shape (the 100 TB path: bucket
+                    join instead of cross join) at recall >= 0.8.
+
+Tuning note: the synthetic fixture embeddings are near-isotropic (top-5
+neighbor cosines ~0.35-0.5), the hardest case for hyperplane LSH — the
+default (20 tables x 8 planes, Hamming<=1) measures recall ~0.9 at ~50%
+candidate fraction there. On real clustered embeddings the same config
+probes a far smaller fraction; shrink n_tables / raise n_planes as the
+data allows.
 """
 
 from __future__ import annotations
 
+import hashlib
+from itertools import combinations
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+ANN_DIMS = 64  # hyperplane width; bucketing uses the first ANN_DIMS dims
+
+
+def plane_weights(n_planes: int, seed: int = 7, dims: int = ANN_DIMS) -> list[list[float]]:
+    """Deterministic pseudo-hyperplane weights: plane p, dim d weight =
+    (int(sha256("{seed}|{p}|{d}")[:8]) % 2001 - 1000) / 1000. Pure
+    stdlib — reproducible everywhere, embeddable as SQL literals."""
+    return [
+        [
+            (
+                int.from_bytes(
+                    hashlib.sha256(f"{seed}|{p}|{d}".encode()).digest()[:8], "big"
+                )
+                % 2001
+                - 1000
+            )
+            / 1000.0
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _bucket_expr(n_planes: int, seed: int, dims: int) -> str:
+    """SQL expression (over column `v`) for the sign-bit bucket of one
+    table: sum over planes of (dot(v[:dims], w_p) >= 0) << p, with the
+    weight vectors inlined as array literals (pure codegen arithmetic,
+    zero per-row hashing)."""
+    W = plane_weights(n_planes, seed, dims)
+    terms = []
+    for p in range(n_planes):
+        arr = "array(" + ",".join(repr(x) for x in W[p]) + ")"
+        dot = (
+            f"aggregate(zip_with(slice(v, 1, {dims}), {arr}, (x, y) -> x * y),"
+            f" cast(0.0 as double), (a, x) -> a + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0.0D THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def probe_offsets(n_planes: int, probe_hamming: int = 1) -> list[int]:
+    """XOR masks for multi-probe: all bucket offsets within Hamming
+    distance <= probe_hamming (0 first, then single bits, then pairs...)."""
+    offs = [0]
+    for r in range(1, probe_hamming + 1):
+        for bits in combinations(range(n_planes), r):
+            offs.append(sum(1 << b for b in bits))
+    return offs
 
 
 def _norm(v):
@@ -48,48 +115,80 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFr
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def lsh_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 7) -> DataFrame:
-    """(vec_id, bucket) — sign-bit bucket from n pseudo-hyperplanes.
+def lsh_buckets(
+    emb: DataFrame, n_planes: int = 8, seed: int = 7, dims: int = ANN_DIMS
+) -> DataFrame:
+    """(vec_id, bucket, v) — sign-bit bucket from n pseudo-hyperplanes.
 
-    Plane p's weight for dimension d = (xxhash64(seed, p, d) % 2001 - 1000)
-    / 1000.0: deterministic, computed on the fly, identical on every
-    executor — no broadcast state needed.
-    """
-    v = F.col("v")
-    dims = F.size(v)
-    planes = []
-    for p in range(n_planes):
-        w = F.transform(
-            F.sequence(F.lit(0), dims - 1),
-            lambda d, p=p: (
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2001)) - 1000
-            ).cast("double")
-            / 1000.0,
-        )
-        dot = F.aggregate(F.zip_with(v, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-        planes.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
-    bucket = sum(planes)
+    The weight matrix is inlined as array literals (see plane_weights), so
+    bucketing is pure whole-stage-codegen arithmetic: one fold per plane,
+    zero hashing per row, identical on every executor and engine."""
+    bucket = F.expr(_bucket_expr(n_planes, seed, dims))
     return emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")).select(
         "vec_id", bucket.alias("bucket"), "v"
     )
 
 
-def ann_topk_lsh(emb: DataFrame, query_ids: list[int], k: int = 5, n_planes: int = 6) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
-    Recall measured vs brute_force_topk in tests (quality metric, not
-    an exactness contract)."""
-    b = lsh_buckets(emb, n_planes=n_planes)
-    b = b.withColumn("norm", _norm(F.col("v")))
-    q = b.where(F.col("vec_id").isin([int(x) for x in query_ids])).select(
+def lsh_buckets_multi(
+    emb: DataFrame, n_planes: int, n_tables: int, seed: int = 7, dims: int = ANN_DIMS
+) -> DataFrame:
+    """(vec_id, tbl, bucket) — L independent hash tables computed in ONE
+    scan of the embedding table (table t uses seed + 1000*t), exploded to
+    one row per (vector, table). At 100 TB this is the write-side of an
+    LSH index: partition/bucket the output by (tbl, bucket) and the probe
+    join below becomes a pruned scan."""
+    structs = ", ".join(
+        f"struct({t} AS tbl, ({_bucket_expr(n_planes, seed + 1000 * t, dims)}) AS bucket)"
+        for t in range(n_tables)
+    )
+    return (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .select("vec_id", F.explode(F.expr(f"array({structs})")).alias("tb"))
+        .select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    )
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 20,
+    probe_hamming: int = 1,
+    seed: int = 7,
+    dims: int = ANN_DIMS,
+) -> DataFrame:
+    """Approximate top-k via L-table multi-probe LSH: candidates =
+    union over tables of (query's bucket + every bucket within Hamming
+    distance `probe_hamming`), deduped, then exactly re-ranked by cosine.
+    Deterministic end to end (literal plane weights + (cos desc, vec_id
+    asc) tie-break) — checked against a full DuckDB oracle; recall vs
+    brute_force_topk >= 0.8 is asserted in tests as the quality bar."""
+    qids = [int(x) for x in query_ids]
+    b = lsh_buckets_multi(emb, n_planes, n_tables, seed, dims)
+    offsets = probe_offsets(n_planes, probe_hamming)
+    probes = "array(" + ",".join(f"bucket ^ {m}" for m in offsets) + ")"
+    q = b.where(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("query_id"),
-        F.col("bucket"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qn"),
+        "tbl",
+        F.explode(F.expr(probes)).alias("bucket"),
+    )
+    cand = (
+        F.broadcast(q)
+        .join(b, ["tbl", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("norm", _norm(F.col("v")))
+    qbase = base.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
     scored = (
-        F.broadcast(q)
-        .join(b, "bucket")
-        .where(F.col("vec_id") != F.col("query_id"))
+        cand.join(base, "vec_id")
+        .join(F.broadcast(qbase), "query_id")
         .select(
             "query_id",
             "vec_id",

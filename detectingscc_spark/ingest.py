@@ -50,19 +50,30 @@ def verify_sha256(before: DataFrame, corpus_after: DataFrame) -> int:
 
 def mint_vertices(corpus: DataFrame) -> DataFrame:
     """vertices(id, repo, path). Uses the corpus `fid` column when present
-    (synthetic corpus), else a deterministic dense rank of (repo, path).
-
-    Scale note: the rank path uses zipWithIndex-free dense ids via a
-    window only as fallback; the fid path (and any production corpus with
-    a stable file id) avoids the global sort entirely.
+    (synthetic corpus), else a deterministic dense rank of (repo, path):
+    id = (# files in lexicographically earlier repos) + rank of path
+    within this repo - 1. Identical ordering to a global (repo, path)
+    sort, but the only windows are (a) per-repo row_number — partitioned,
+    scales with the largest repo — and (b) a cumulative sum over the repo
+    dimension (one row per repo), never a single-task pass over all files
+    (the classic unpartitioned-Window scale killer).
     """
     if "fid" in corpus.columns:
         return corpus.select(F.col("fid").alias("id"), "repo", "path")
     from pyspark.sql import Window
 
-    w = Window.orderBy("repo", "path")
-    return corpus.select("repo", "path").distinct().select(
-        (F.row_number().over(w) - 1).cast("long").alias("id"), "repo", "path"
+    d = corpus.select("repo", "path").distinct()
+    local = d.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("repo").orderBy("path"))
+    )
+    w_repo = Window.orderBy("repo").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("repo")
+        .agg(F.count("*").alias("cnt"))
+        .select("repo", F.coalesce(F.sum("cnt").over(w_repo), F.lit(0)).alias("off"))
+    )
+    return local.join(F.broadcast(offsets), "repo").select(
+        (F.col("off") + F.col("rn") - 1).cast("long").alias("id"), "repo", "path"
     )
 
 

@@ -99,6 +99,7 @@ def scc_coloring(
         # then jump color <- color(color) (both monotone increasing)
         col_df, _ = runner.tick("color", active.select("id", F.col("id").alias("color")))
         prev = col_df.agg(F.sum("color")).first()[0]
+        converged = False
         for _ in range(max_prop_iters):
             runner.bump("FWD_iterations")
             nbr = (
@@ -121,8 +122,15 @@ def scc_coloring(
             col_df, _ = runner.tick("color", c2, count=False)
             cur = col_df.agg(F.sum("color")).first()[0]
             if cur == prev:
+                converged = True
                 break
             prev = cur
+        if not converged:
+            # stale colors would let the class-confined BFS split an SCC
+            # silently; fail loudly like the FB engine's max_rounds guard
+            raise RuntimeError(
+                f"color propagation did not converge in {max_prop_iters} iterations"
+            )
 
         # ---- forward BFS from roots within color class -> SCCs --------
         ce = (

@@ -317,11 +317,9 @@ def strongly_connected_components(
             runner.log("local_finish", vertices=len(ids), edges=len(rows))
             break
 
-        re_b, _ = runner.tick("re_b", re.repartition("dst"), truncate=False, detach=False)
-
         # ---- pivot election: per-range argmax of indeg*outdeg ---------
         outd = re.groupBy("src").count().select(F.col("src").alias("id"), F.col("count").alias("od"))
-        ind = re_b.groupBy("dst").count().select(F.col("dst").alias("id"), F.col("count").alias("inde"))
+        ind = re.groupBy("dst").count().select(F.col("dst").alias("id"), F.col("count").alias("inde"))
         degs = outd.join(ind, "id", "full").select(
             "id", (F.coalesce("od", F.lit(0)) * F.coalesce("inde", F.lit(0))).alias("prod")
         )
@@ -348,7 +346,7 @@ def strongly_connected_components(
         if expand == "csr":
             state, hops = _bfs_csr(runner, spark, re, state, max_bfs_hops)
         else:
-            state, hops = _bfs_join(runner, re, re_b, state, max_bfs_hops)
+            state, hops = _bfs_join(runner, re, state, max_bfs_hops)
         runner.log("bfs", hops=hops, mode=expand)
 
         # ---- update: FW∩BW = pivot's SCC; survivors re-ranged ---------
@@ -367,7 +365,7 @@ def strongly_connected_components(
         runner.log("update", active=a_cnt)
 
         runner.maybe_checkpoint({"active": active, "done": done, "re": re})
-        for name in ("re_b", "pivots", "state"):
+        for name in ("pivots", "state"):
             runner.release(name)
 
     runner.maybe_checkpoint({"active": active, "done": done, "re": re}, force=True)
@@ -391,69 +389,86 @@ def _assemble_state(runner, state, vis_f, vis_b):
     return out
 
 
-def _bfs_join(runner, re_f, re_b, state, max_bfs_hops, unroll=4):
-    """Frontier-join BFS: one DataFrame join per hop per direction, both
-    directions submitted concurrently (independent Spark jobs). Visited
-    sets are maintained as growing id frames — the per-hop state is never
-    materialized, only the final (fw, bw) assembly. Frontiers are bare id
-    sets: residual edges are already same-range, so expansion cannot leak
-    across ranges."""
-    from concurrent.futures import ThreadPoolExecutor
+SALT_PARTS = 8
 
-    seeds, seed_cnt = runner.tick("seeds", state.where("fw").select("id"), detach=False)
-    sides = {
-        "f": {"edges": re_f, "key": ("src", "dst"), "vis": seeds, "front": seeds,
-              "cnt": seed_cnt, "counter": "FWD_iterations", "slot": "f"},
-        "b": {"edges": re_b, "key": ("dst", "src"), "vis": seeds, "front": seeds,
-              "cnt": seed_cnt, "counter": "BWD_iterations", "slot": "b"},
-    }
 
-    def step(s, unroll):
-        # expand `unroll` hops inside ONE Spark job: join+distinct+anti-vis
-        # per level, union of levels ticked once. Cuts the per-superstep
-        # fixed cost (driver round trips, job scheduling) by ~unroll x;
-        # intra-window re-visits are bounded by the per-level distinct.
-        jk, ok = s["key"]
-        level = s["front"]
+def _bfs_join(runner, re_f, state, max_bfs_hops, unroll=4):
+    """Single-job bidirectional frontier BFS.
+
+    FW and BW edges are unioned into ONE frame tagged `dir` (0=fwd edge
+    (src->dst), 1=bwd edge (dst->src)); the frontier carries the same tag,
+    so both directions expand in ONE join per hop — half the Spark jobs
+    of the previous two-thread design and no executor pool (the fix for
+    the superstep fixed-cost scaling bottleneck). `unroll` hops run
+    inside one job via join+distinct+anti-vis chains; the union of levels
+    is materialized once per window.
+
+    Skew (north_star "skew-aware salting of hub vertices"): while the
+    frontier is broadcast-able the join is a map-side hash join and hubs
+    are irrelevant. Once it exceeds BROADCAST_ROW_LIMIT, the edge side is
+    re-keyed once with salt = hash(v) % SALT_PARTS and the frontier is
+    exploded x SALT_PARTS, so a hub vertex's adjacency spreads over
+    SALT_PARTS shuffle partitions (each edge keeps exactly one salt -> no
+    duplicate expansion). This is the Spark analog of the reference's
+    warp/CTA kernels for high-degree vertices
+    (/root/reference/include/scc_kernels.h:46-105)."""
+    ed = re_f.select(F.lit(0).alias("dir"), F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+        re_f.select(F.lit(1).alias("dir"), F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    ed, _ = runner.tick("bfs_ed", ed.repartition("dir", "u"), truncate=False, count=False, detach=False)
+
+    seeds = state.where("fw").select(F.lit(0).alias("dir"), "id").unionByName(
+        state.where("bw").select(F.lit(1).alias("dir"), "id")
+    )
+    front, cnt = runner.tick("bfs_front", seeds, detach=False)
+    vis = front
+    ed_salted = None
+    hops = 0
+    while cnt > 0:
+        hops += 1
+        if hops > max_bfs_hops:
+            raise RuntimeError("BFS exceeded max hops")
+        use_salt = cnt > BROADCAST_ROW_LIMIT
+        if use_salt and ed_salted is None:
+            ed_salted, _ = runner.tick(
+                "bfs_ed_salt",
+                ed.withColumn("salt", F.pmod(F.xxhash64("v"), F.lit(SALT_PARTS)).cast("int"))
+                .repartition("dir", "u", "salt"),
+                truncate=False, count=False, detach=False,
+            )
+        level = front
         acc = None
         for _ in range(unroll):
-            runner.bump(s["counter"])
+            runner.bump("FWD_iterations")
+            runner.bump("BWD_iterations")
+            if use_salt:
+                lf = level.select(
+                    "dir",
+                    F.col("id").alias("u"),
+                    F.explode(F.expr(f"sequence(0, {SALT_PARTS - 1})")).alias("salt"),
+                )
+                joined = ed_salted.join(lf, ["dir", "u", "salt"])
+            else:
+                joined = ed.join(_bc(level.withColumnRenamed("id", "u"), cnt), ["dir", "u"])
             level = (
-                s["edges"].join(_bc(level.withColumnRenamed("id", jk), s["cnt"]), jk)
-                .select(F.col(ok).alias("id"))
+                joined.select("dir", F.col("v").alias("id"))
                 .distinct()
-                .join(s["vis"], "id", "left_anti")
+                .join(vis, ["dir", "id"], "left_anti")
             )
             acc = level if acc is None else acc.unionByName(level)
         # acc = every vertex discovered in this window (they all enter vis;
         # all but the last level were already expanded, re-expanding them
         # next window is bounded waste and keeps the loop simple+correct)
-        new, n_cnt = runner.tick(f"front_{s['slot']}", acc.distinct(), detach=False)
+        new, n_cnt = runner.tick("bfs_new", acc.distinct(), detach=False)
         if n_cnt:
-            vis, _ = runner.tick(
-                f"vis_{s['slot']}", s["vis"].unionByName(new), count=False, detach=False
-            )
-            s["vis"] = vis
-        s["front"], s["cnt"] = new, n_cnt
-
-    import os
-    parallel_dirs = os.environ.get("SCC_PARALLEL_DIRS", "1") == "1"
-    hops = 0
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        while sides["f"]["cnt"] > 0 or sides["b"]["cnt"] > 0:
-            hops += 1
-            if hops > max_bfs_hops:
-                raise RuntimeError("BFS exceeded max hops")
-            live = [s for s in sides.values() if s["cnt"] > 0]
-            if parallel_dirs:
-                futs = [pool.submit(step, s, unroll) for s in live]
-                for fut in futs:
-                    fut.result()
-            else:
-                for s in live:
-                    step(s, unroll)
-    final = _assemble_state(runner, state, sides["f"]["vis"], sides["b"]["vis"])
-    for slot in ("seeds", "front_f", "front_b", "vis_f", "vis_b"):
+            vis, _ = runner.tick("bfs_vis", vis.unionByName(new), count=False, detach=False)
+        front, cnt = new, n_cnt
+    final = _assemble_state(
+        runner, state,
+        vis.where("dir = 0").select("id"),
+        vis.where("dir = 1").select("id"),
+    )
+    for slot in ("bfs_ed", "bfs_ed_salt", "bfs_front", "bfs_new", "bfs_vis"):
         runner.release(slot)
     return final, hops
 
@@ -467,16 +482,23 @@ def _bfs_csr(runner, spark, re_f, state, max_bfs_hops):
     n_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     max_id = state.agg(F.max("id")).first()[0]
     block = int(max_id) // n_blocks + 1
+
+    def floordiv_block(col: str):
+        # integer FLOOR division, exactly matching the kernel's numpy
+        # `nbrs // block` for negative ids too (float division truncates
+        # toward zero and loses precision past 2^53)
+        return F.expr(f"({col} - pmod({col}, {block})) DIV {block}")
+
     kernel = _csr_multihop_kernel(block, "p")
 
     ef = re_f.select(
-        (F.col("src") / block).cast("long").alias("p"),
+        floordiv_block("src").alias("p"),
         F.col("src").alias("u"),
         F.col("dst").alias("v"),
     )
     ef, _ = runner.tick("csr_ef", ef.repartition(n_blocks, "p"), truncate=False, detach=False)
     eb = re_f.select(
-        (F.col("dst") / block).cast("long").alias("p"),
+        floordiv_block("dst").alias("p"),
         F.col("dst").alias("u"),
         F.col("src").alias("v"),
     )
@@ -506,7 +528,7 @@ def _bfs_csr(runner, spark, re_f, state, max_bfs_hops):
         )
         out = (
             s["edges"].groupBy("p")
-            .cogroup(s_in.groupBy((F.col("id") / block).cast("long").alias("p")))
+            .cogroup(s_in.groupBy(floordiv_block("id").alias("p")))
             .applyInPandas(kernel, "id long, local boolean")
         )
         out, _ = runner.tick(f"csr_out_{s['slot']}", out, count=False)

@@ -44,10 +44,16 @@ class SuperstepRunner:
         run_id: str = "run0",
         checkpoint_interval: int = 8,
         collect_lineage: bool = True,
+        fingerprint: str | None = None,
     ):
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
         self.run_id = run_id
+        # input/param fingerprint: manifests record it and resume() skips
+        # checkpoints minted by a different run_id or fingerprint, so
+        # rerunning with the same --checkpoint-dir but a different input
+        # can never silently return the stale run's state
+        self.fingerprint = fingerprint
         self.checkpoint_interval = max(1, checkpoint_interval)
         self.collect_lineage = collect_lineage
         self.superstep = 0
@@ -96,7 +102,12 @@ class SuperstepRunner:
             cnt = new.count() if count else None
         else:
             new = df.persist(StorageLevel.MEMORY_AND_DISK)
-            cnt = new.count()
+            if count:
+                cnt = new.count()
+            else:
+                # materialize the cache without a count job
+                cnt = None
+                new.write.format("noop").mode("overwrite").save()
         with self._lock:
             old = self._live.get(name)
             self._live[name] = new
@@ -210,6 +221,7 @@ class SuperstepRunner:
             lineage[name] = self._lineage(df)
         manifest = {
             "run_id": self.run_id,
+            "fingerprint": self.fingerprint,
             "superstep": self.superstep,
             "counters": dict(self.counters),
             "states": sorted(states),
@@ -238,6 +250,10 @@ class SuperstepRunner:
         for step in manifests:
             with open(os.path.join(self.checkpoint_dir, f"manifest_{step}.json")) as f:
                 manifest = json.load(f)
+            if manifest.get("run_id") != self.run_id:
+                continue
+            if manifest.get("fingerprint") != self.fingerprint:
+                continue
             step_dir = os.path.join(self.checkpoint_dir, f"state_{step}")
             try:
                 states = {

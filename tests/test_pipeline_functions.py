@@ -76,12 +76,40 @@ def test_ngram_jaccard(spark, docs):
     assert res[0]["jaccard"] > 0.9
 
 
+def _simhash_py(text: str) -> str:
+    """Pure-python oracle mirroring the engine's simhash definition."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"\s+", text) if t]
+    if not toks:
+        return "0" * 16
+    n = len(toks)
+    hexes = [hashlib.sha256(t.encode()).hexdigest() for t in toks]
+    digits = []
+    for j in range(16):  # j = 0 is the most significant hex char
+        d = 0
+        for b in range(4):
+            s = sum((int(h[j], 16) >> b) & 1 for h in hexes)
+            if 2 * s > n:  # strict majority; ties -> 0
+                d |= 1 << b
+        digits.append("0123456789abcdef"[d])
+    return "".join(digits)
+
+
+def test_simhash_matches_python_oracle(spark, docs):
+    sub = docs.where(F.col("doc_id") < 8)
+    got = {r["doc_id"]: r["simhash"] for r in simhash(sub).collect()}
+    for r in sub.collect():
+        assert got[r["doc_id"]] == _simhash_py(r["text"])
+
+
 def test_simhash_near_dup_close(spark, docs):
-    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    sh = {r["doc_id"]: int(r["simhash"], 16) for r in simhash(docs).collect()}
     for i in range(5):
         assert sh[i] == sh[i + 100000]  # identical text -> identical simhash
     for i in range(5, 10):
-        d = bin((sh[i] ^ sh[i + 200000]) & ((1 << 64) - 1)).count("1")
+        d = bin(sh[i] ^ sh[i + 200000]).count("1")
         assert d <= 8  # near dup -> small hamming distance
 
 
@@ -107,12 +135,13 @@ def test_brute_force_topk_vs_numpy(spark, emb):
 
 
 def test_ann_lsh_recall(spark, emb):
-    exact = brute_force_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5).collect()
-    approx = ann_topk_lsh(emb, query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4).collect()
+    qids = list(range(10))
+    exact = brute_force_topk(emb, query_ids=qids, k=5).collect()
+    approx = ann_topk_lsh(emb, query_ids=qids, k=5).collect()
     exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
     approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.2  # 4 planes / 16 buckets on random vectors: sanity bound
+    assert recall >= 0.8  # multi-probe (Hamming<=1) quality bar
     assert all(r["rank"] <= 5 for r in approx)
 
 
