@@ -298,6 +298,12 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    from detectingscc_spark.functions.similarity import ann_topk_ivf
+
+    return ann_topk_ivf(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -354,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_dups": q_embedding_dups,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
     }
@@ -812,6 +819,61 @@ SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {k}
 ANN_LSH_SQL = _ann_lsh_sql()
 
 
+def _ann_ivf_sql(
+    query_ids=(0, 1, 2, 3, 4), k: int = 5, n_centroids: int = 16, n_probe: int = 8,
+) -> str:
+    """Mirrors functions/similarity.py ann_topk_ivf: centroid j =
+    embedding j; cell = argmax cosine (ties -> lowest cid); probe the
+    n_probe nearest cells; exact re-rank."""
+    ids = ",".join(str(int(i)) for i in query_ids)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS norm
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM base WHERE vec_id < {n_centroids}),
+ascore AS MATERIALIZED (
+  SELECT b.vec_id, c.cid,
+         round(list_dot_product(b.v, c.cv) / (b.norm * c.cn), 6) AS ccos
+  FROM base b CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+    FROM ascore
+  ) t WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS pr
+    FROM ascore WHERE vec_id IN ({ids})
+  ) t WHERE pr <= {n_probe}
+),
+cand AS (
+  SELECT q.query_id, a.vec_id
+  FROM qprobe q JOIN assign a ON a.cell = q.cell
+  WHERE a.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(qb.v, b.v) / (qb.norm * b.norm), 6) AS cos
+  FROM cand c JOIN base b ON b.vec_id = c.vec_id JOIN base qb ON qb.vec_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+ANN_IVF_SQL = _ann_ivf_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "scc": SCC_SQL,
@@ -841,4 +903,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_scc": CORPUS_SCC_SQL,
         "simhash": SIMHASH_SQL,
         "ann_lsh": ANN_LSH_SQL,
+        "ann_ivf": ANN_IVF_SQL,
     }

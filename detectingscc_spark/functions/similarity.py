@@ -17,6 +17,10 @@
                     O(candidates) join shape (the 100 TB path: bucket
                     join instead of cross join) at recall >= 0.8.
 
+  ivf_cells /       IVF scale path: deterministic anchor-point coarse
+  ann_topk_ivf      quantizer (centroid j = embedding j), inverted-list
+                    probe of the n_probe nearest cells, exact re-rank.
+
 Tuning note: the synthetic fixture embeddings are near-isotropic (top-5
 neighbor cosines ~0.35-0.5), the hardest case for hyperplane LSH — the
 default (20 tables x 8 planes, Hamming<=1) measures recall ~0.9 at ~50%
@@ -146,6 +150,83 @@ def lsh_buckets_multi(
         .select("vec_id", F.explode(F.expr(f"array({structs})")).alias("tb"))
         .select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     )
+
+
+def ivf_cells(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """(vec_id, cell) — IVF coarse quantizer: centroid j = the embedding
+    with vec_id == j (deterministic anchor points, no RNG/k-means state);
+    cell = argmax cosine over centroids, ties -> lowest centroid id.
+
+    Scale shape: assignment is O(N x K) with K ~ sqrt(N) centroids
+    broadcast to every executor; the inverted lists are then the
+    partition/bucket key for the probe-side join (same shape Faiss IVF
+    uses, minus the trained quantizer)."""
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("norm", _norm(F.col("v")))
+    cents = base.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        F.round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")), 6).alias("ccos"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.expr("max_by(cid, struct(ccos, -cid))").alias("cell")
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+) -> DataFrame:
+    """Approximate top-k via IVF: each query probes its n_probe nearest
+    centroids' inverted lists; candidates are exactly re-ranked by
+    cosine. Deterministic end to end; full DuckDB oracle."""
+    qids = [int(x) for x in query_ids]
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("norm", _norm(F.col("v")))
+    cents = base.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    assign = ivf_cells(emb, n_centroids)
+    qbase = base.where(F.col("vec_id").isin(qids))
+    qcent = qbase.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias("query_id"),
+        "cid",
+        F.round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")), 6).alias("ccos"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    probes = (
+        qcent.withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    qv = qbase.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    scored = (
+        cand.join(base, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def ann_topk_lsh(

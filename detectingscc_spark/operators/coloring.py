@@ -97,10 +97,12 @@ def scc_coloring(
         # ---- max-color propagation with pointer jumping ---------------
         # color(v) = max id forward-reachable; pull-max over out-edges,
         # then jump color <- color(color) (both monotone increasing)
+        from pyspark.sql import Observation
+
         col_df, _ = runner.tick("color", active.select("id", F.col("id").alias("color")))
-        prev = col_df.agg(F.sum("color")).first()[0]
+        prev = None  # colors monotone non-decreasing; sum fixpoint = converged
         converged = False
-        for _ in range(max_prop_iters):
+        for it in range(max_prop_iters):
             runner.bump("FWD_iterations")
             nbr = (
                 re.join(col_df.select(F.col("id").alias("dst"), F.col("color").alias("nc")), "dst")
@@ -119,8 +121,11 @@ def scc_coloring(
                 F.col("id"),
                 F.greatest(F.col("color"), F.coalesce(F.col("cc"), F.col("color"))).alias("color"),
             )
-            col_df, _ = runner.tick("color", c2, count=False)
-            cur = col_df.agg(F.sum("color")).first()[0]
+            obs = Observation(f"col_{rnd}_{it}")
+            col_df, _ = runner.tick(
+                "color", c2.observe(obs, F.sum("color").alias("s")), count=False
+            )
+            cur = obs.get["s"]
             if cur == prev:
                 converged = True
                 break

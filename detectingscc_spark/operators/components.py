@@ -41,9 +41,11 @@ def connected_components(
     if vertices is not None:
         verts = verts.union(vertices.select(F.col("id").cast("long"))).distinct()
 
+    from pyspark.sql import Observation
+
     lab = verts.select("id", F.col("id").alias("label"))
     lab, _ = runner.tick("label", lab)
-    prev_sum = lab.agg(F.sum("label")).first()[0]
+    prev_sum = None  # labels monotone non-increasing; sum fixpoint = converged
 
     for i in range(max_iters):
         runner.superstep = i + 1
@@ -66,8 +68,11 @@ def connected_components(
             F.col("id"),
             F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"),
         )
-        lab, _ = runner.tick("label", l2)
-        new_sum = lab.agg(F.sum("label")).first()[0]
+        # convergence sum rides as an observed metric of the tick's own
+        # materialization job — one driver action per iteration, not three
+        obs = Observation(f"cc_{i}")
+        lab, _ = runner.tick("label", l2.observe(obs, F.sum("label").alias("s")), count=False)
+        new_sum = obs.get["s"]
         runner.log("cc_iter", label_sum=int(new_sum))
         runner.maybe_checkpoint({"label": lab})
         if new_sum == prev_sum:

@@ -58,7 +58,7 @@ def label_propagation(
         new_lab = lab.join(votes, "id", "left").select(
             "id", F.coalesce(F.col("winner"), F.col("label")).alias("label")
         )
-        lab, _ = runner.tick("label", new_lab)
+        lab, _ = runner.tick("label", new_lab, count=False)
         runner.log("lpa_round")
     runner.release("edges")
     return lab.select("id", "label")

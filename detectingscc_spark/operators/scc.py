@@ -25,15 +25,31 @@ Scale design (100 TB): the full edge table is joined exactly ONCE (round
 BFS, decomposition — operates on the monotonically shrinking residual
 edge set, which is filtered in place as vertices retire (the Spark analog
 of the reference keeping all state device-resident and masking retired
-rows per kernel). Frontiers broadcast while small; per-vertex state is
-25 bytes/row; every superstep localCheckpoints to truncate lineage and
-periodically commits a durable parquet checkpoint + manifest for resume
-(north_rule). When the residual drops below `local_finish_edges` the
+rows per kernel). When the residual drops below `local_finish_edges` the
 driver finishes with an in-memory Tarjan pass — the distributed rounds
 have already removed the giant SCC and trims, and a sub-threshold tail is
 latency- not throughput-bound (intent of detectSCC's merge phase,
 /root/reference/src/scc_WCC.cu:1345-1528, without its quadratic closure
 sets).
+
+Superstep fixed-cost discipline (the scaling-efficiency levers):
+  * ONE driver action per tick — row counts ride as observed metrics of
+    the materialization job itself (superstep.py), never a second count.
+  * ONE join per BFS hop — FW/BW edges and frontiers share a dir tag.
+    Hops are deliberately NOT fused into multi-hop windows: Spark does
+    not reuse subplans, so a fused window recomputes every inner level
+    once per outer level (measured 5x slower at unroll=4 than
+    one-materialized-hop-at-a-time; `bfs_unroll` stays 1).
+  * Frontier joins and visited anti-joins broadcast while the driver-
+    known row count is under BROADCAST_ROW_LIMIT; past it the edge side
+    is salted (hash(v) % SALT_PARTS) so hub adjacency spreads across
+    shuffle partitions (north_star skew mandate).
+  * Retired vertices accumulate as materialized fragments; the `done`
+    set is their lazy union (no O(done) rewrite per emit).
+  * trim1 re-derives the residual lazily per iteration and materializes
+    it once per fixpoint.
+Every superstep localCheckpoints to truncate lineage and periodically
+commits a durable parquet checkpoint + manifest for resume (north_rule).
 """
 
 from __future__ import annotations
@@ -43,7 +59,12 @@ from pyspark.sql import functions as F
 
 from ..plans.superstep import SuperstepRunner
 
-BROADCAST_ROW_LIMIT = 300_000
+BROADCAST_ROW_LIMIT = 1_500_000  # (dir,id) rows ~16B each -> <=24MB broadcast
+# anti-join build side (visited set) is monotonically GROWING: broadcasting
+# it means an O(|vis|) driver collect EVERY hop, so its cap is much lower —
+# past this the anti-join shuffles (AQE-sized), keeping data motion on the
+# executors where it belongs
+ANTI_BROADCAST_ROW_LIMIT = 300_000
 
 
 def _bc(df: DataFrame, cnt: int | None) -> DataFrame:
@@ -211,6 +232,8 @@ def strongly_connected_components(
     trim2_enabled: bool = True,
     trim_iters: int = 4,
     expand: str = "join",
+    bfs_unroll: int = 1,
+    hub_degree_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Compute SCCs of a directed graph given as edges(src, dst).
 
@@ -229,9 +252,9 @@ def strongly_connected_components(
     if resumed is not None:
         _, states = resumed
         active, a_cnt = runner.tick("active", states["active"])
-        done, _ = runner.tick("done", states["done"])
         re, _ = runner.tick("re", states["re"])
         rnd = runner.superstep
+        first_done = states["done"]
     else:
         E = _canonical_edges(edges)
         verts = E.select(F.col("src").alias("id")).union(E.select(F.col("dst").alias("id"))).distinct()
@@ -241,14 +264,30 @@ def strongly_connected_components(
         active, a_cnt = runner.tick("active", init)
         # round-1 residual: the ONLY pass over the full edge table
         re, _ = runner.tick("re", E.withColumn("range", F.lit(0).cast("long")).repartition("src"), detach=False)
-        done, _ = runner.tick("done", spark.createDataFrame([], "id long, scc_id long"))
         rnd = 0
+        first_done = spark.createDataFrame([], "id long, scc_id long")
+
+    # retired vertices accumulate as MATERIALIZED FRAGMENTS; the logical
+    # `done` set is their lazy union. Ticking only the (small) new
+    # fragment avoids rewriting the whole done set on every emit — the
+    # old design's O(done) localCheckpoint per trim/update was a large
+    # share of the superstep fixed cost.
+    done_frags: list[DataFrame] = []
 
     def emit_done(new_rows: DataFrame) -> None:
-        nonlocal done
-        done, _ = runner.tick(
-            "done", done.unionByName(new_rows.select("id", "scc_id")), count=False
+        frag, _ = runner.tick(
+            f"done_{len(done_frags)}", new_rows.select("id", "scc_id"),
+            count=False, detach=False,
         )
+        done_frags.append(frag)
+
+    def all_done() -> DataFrame:
+        out = done_frags[0]
+        for frag in done_frags[1:]:
+            out = out.unionByName(frag)
+        return out
+
+    emit_done(first_done)
 
     while a_cnt > 0:
         rnd += 1
@@ -346,7 +385,10 @@ def strongly_connected_components(
         if expand == "csr":
             state, hops = _bfs_csr(runner, spark, re, state, max_bfs_hops)
         else:
-            state, hops = _bfs_join(runner, re, state, max_bfs_hops)
+            state, hops = _bfs_join(
+                runner, re, re_cnt, state, max_bfs_hops,
+                unroll=bfs_unroll, hub_degree_threshold=hub_degree_threshold,
+            )
         runner.log("bfs", hops=hops, mode=expand)
 
         # ---- update: FW∩BW = pivot's SCC; survivors re-ranged ---------
@@ -364,12 +406,12 @@ def strongly_connected_components(
         active, a_cnt = runner.tick("active", active)
         runner.log("update", active=a_cnt)
 
-        runner.maybe_checkpoint({"active": active, "done": done, "re": re})
+        runner.maybe_checkpoint({"active": active, "done": all_done(), "re": re})
         for name in ("pivots", "state"):
             runner.release(name)
 
-    runner.maybe_checkpoint({"active": active, "done": done, "re": re}, force=True)
-    return done.select(F.col("id").cast("long"), F.col("scc_id").cast("long"))
+    runner.maybe_checkpoint({"active": active, "done": all_done(), "re": re}, force=True)
+    return all_done().select(F.col("id").cast("long"), F.col("scc_id").cast("long"))
 
 
 def _assemble_state(runner, state, vis_f, vis_b):
@@ -392,7 +434,22 @@ def _assemble_state(runner, state, vis_f, vis_b):
 SALT_PARTS = 8
 
 
-def _bfs_join(runner, re_f, state, max_bfs_hops, unroll=4):
+def _part_target(rows: int | None, spark=None, bytes_per_row: int = 24) -> int:
+    """Partition count sized by DATA VOLUME (~16MB each), capped at the
+    session's shuffle parallelism — cached iterative state should never
+    carry core-count partitions when the bytes don't warrant them (the
+    tiny-task flood is pure scheduler overhead at any cluster size)."""
+    if rows is None:
+        return 1
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) if spark else 32
+    return max(1, min(cap, (rows * bytes_per_row) // (16 << 20) + 1))
+
+
+def _bfs_join(runner, re_f, re_cnt, state, max_bfs_hops, unroll=1,
+              hub_degree_threshold=1_000_000):
     """Single-job bidirectional frontier BFS.
 
     FW and BW edges are unioned into ONE frame tagged `dir` (0=fwd edge
@@ -405,70 +462,115 @@ def _bfs_join(runner, re_f, state, max_bfs_hops, unroll=4):
 
     Skew (north_star "skew-aware salting of hub vertices"): while the
     frontier is broadcast-able the join is a map-side hash join and hubs
-    are irrelevant. Once it exceeds BROADCAST_ROW_LIMIT, the edge side is
-    re-keyed once with salt = hash(v) % SALT_PARTS and the frontier is
-    exploded x SALT_PARTS, so a hub vertex's adjacency spreads over
-    SALT_PARTS shuffle partitions (each edge keeps exactly one salt -> no
-    duplicate expansion). This is the Spark analog of the reference's
-    warp/CTA kernels for high-degree vertices
-    (/root/reference/include/scc_kernels.h:46-105)."""
+    are irrelevant. Past BROADCAST_ROW_LIMIT the hop is a shuffle join,
+    where ONLY detected hubs (residual degree > hub_degree_threshold)
+    get special treatment: their adjacency is re-keyed with
+    salt = hash(v) % SALT_PARTS and only the hub frontier rows explode
+    x SALT_PARTS — non-hub edges join plainly (AQE skew splitting covers
+    moderate imbalance). Salting everything would tax every hop x8 for
+    skew that usually is not there; per-hub salting is the Spark analog
+    of the reference dispatching warp/CTA kernels only for high-degree
+    vertices (/root/reference/include/scc_kernels.h:46-105)."""
     ed = re_f.select(F.lit(0).alias("dir"), F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
         re_f.select(F.lit(1).alias("dir"), F.col("dst").alias("u"), F.col("src").alias("v"))
     )
-    ed, _ = runner.tick("bfs_ed", ed.repartition("dir", "u"), truncate=False, count=False, detach=False)
+    # broadcast-hash hops need no key partitioning; size the cached frame
+    # by bytes so every per-hop scan costs O(data) tasks, not O(cores)
+    ed, _ = runner.tick(
+        "bfs_ed", ed.coalesce(_part_target(2 * re_cnt if re_cnt else None)),
+        truncate=False, count=False, detach=False,
+    )
 
     seeds = state.where("fw").select(F.lit(0).alias("dir"), "id").unionByName(
         state.where("bw").select(F.lit(1).alias("dir"), "id")
     )
     front, cnt = runner.tick("bfs_front", seeds, detach=False)
-    vis = front
-    ed_salted = None
+    # visited set = one compacted base + up to COMPACT_EVERY materialized
+    # per-hop fragments (lazy union). ONE tick per hop; the base is
+    # re-checkpointed only at compaction, not every hop.
+    COMPACT_EVERY = 8
+    vis, vis_cnt = front, cnt
+    frag_slots: list[str] = []
+    hubs, hub_cnt, ed_rest, ed_hub = None, 0, None, None
     hops = 0
     while cnt > 0:
         hops += 1
         if hops > max_bfs_hops:
             raise RuntimeError("BFS exceeded max hops")
-        use_salt = cnt > BROADCAST_ROW_LIMIT
-        if use_salt and ed_salted is None:
-            ed_salted, _ = runner.tick(
-                "bfs_ed_salt",
-                ed.withColumn("salt", F.pmod(F.xxhash64("v"), F.lit(SALT_PARTS)).cast("int"))
-                .repartition("dir", "u", "salt"),
-                truncate=False, count=False, detach=False,
+        if cnt > BROADCAST_ROW_LIMIT and hubs is None:
+            # first shuffle-join hop: split the edge frame once into hub
+            # adjacency (salted) and the rest (joined plainly)
+            hubs, hub_cnt = runner.tick(
+                "bfs_hubs",
+                ed.groupBy("dir", "u").count()
+                .where(F.col("count") > hub_degree_threshold).select("dir", "u"),
+                detach=False,
             )
+            if hub_cnt:
+                ed_rest, _ = runner.tick(
+                    "bfs_ed_rest",
+                    ed.join(F.broadcast(hubs), ["dir", "u"], "left_anti"),
+                    truncate=False, count=False, detach=False,
+                )
+                ed_hub, _ = runner.tick(
+                    "bfs_ed_hub",
+                    ed.join(F.broadcast(hubs), ["dir", "u"], "left_semi").withColumn(
+                        "salt", F.pmod(F.xxhash64("v"), F.lit(SALT_PARTS)).cast("int")
+                    ).repartition("dir", "u", "salt"),
+                    truncate=False, count=False, detach=False,
+                )
         level = front
         acc = None
         for _ in range(unroll):
             runner.bump("FWD_iterations")
             runner.bump("BWD_iterations")
-            if use_salt:
-                lf = level.select(
-                    "dir",
-                    F.col("id").alias("u"),
-                    F.explode(F.expr(f"sequence(0, {SALT_PARTS - 1})")).alias("salt"),
+            lf = level.withColumnRenamed("id", "u")
+            if cnt <= BROADCAST_ROW_LIMIT:
+                joined = ed.join(F.broadcast(lf), ["dir", "u"])
+            elif hub_cnt:
+                lf_hub = (
+                    lf.join(F.broadcast(hubs), ["dir", "u"], "left_semi")
+                    .select("dir", "u", F.explode(F.expr(f"sequence(0, {SALT_PARTS - 1})")).alias("salt"))
                 )
-                joined = ed_salted.join(lf, ["dir", "u", "salt"])
+                joined = ed_rest.join(lf, ["dir", "u"]).unionByName(
+                    ed_hub.join(lf_hub, ["dir", "u", "salt"]).drop("salt")
+                )
             else:
-                joined = ed.join(_bc(level.withColumnRenamed("id", "u"), cnt), ["dir", "u"])
+                # big frontier, no extreme hubs: plain shuffle join; AQE
+                # skew-join splitting covers moderate imbalance
+                joined = ed.join(lf, ["dir", "u"])
+            vis_b = F.broadcast(vis) if vis_cnt <= ANTI_BROADCAST_ROW_LIMIT else vis
             level = (
                 joined.select("dir", F.col("v").alias("id"))
                 .distinct()
-                .join(vis, ["dir", "id"], "left_anti")
+                .join(vis_b, ["dir", "id"], "left_anti")
             )
             acc = level if acc is None else acc.unionByName(level)
         # acc = every vertex discovered in this window (they all enter vis;
         # all but the last level were already expanded, re-expanding them
         # next window is bounded waste and keeps the loop simple+correct)
-        new, n_cnt = runner.tick("bfs_new", acc.distinct(), detach=False)
+        new, n_cnt = runner.tick(f"bfs_new_{hops}", acc.distinct(), detach=False)
         if n_cnt:
-            vis, _ = runner.tick("bfs_vis", vis.unionByName(new), count=False, detach=False)
+            frag_slots.append(f"bfs_new_{hops}")
+            vis = vis.unionByName(new)
+            vis_cnt += n_cnt
+            if len(frag_slots) >= COMPACT_EVERY:
+                vis, _ = runner.tick("bfs_vis", vis, count=False, detach=False)
+                # newest fragment stays alive: it is the live frontier for
+                # the next hop's join (its blocks must not be dropped)
+                for s in frag_slots[:-1]:
+                    runner.release(s)
+                frag_slots = frag_slots[-1:]
+        else:
+            runner.release(f"bfs_new_{hops}")
         front, cnt = new, n_cnt
     final = _assemble_state(
         runner, state,
         vis.where("dir = 0").select("id"),
         vis.where("dir = 1").select("id"),
     )
-    for slot in ("bfs_ed", "bfs_ed_salt", "bfs_front", "bfs_new", "bfs_vis"):
+    for slot in ["bfs_ed", "bfs_hubs", "bfs_ed_rest", "bfs_ed_hub",
+                 "bfs_front", "bfs_vis"] + frag_slots:
         runner.release(slot)
     return final, hops
 
@@ -566,16 +668,31 @@ def _bfs_csr(runner, spark, re_f, state, max_bfs_hops):
 def _trim1_fixpoint(runner, re, re_cnt, active, a_cnt, emit_done, max_iters=4):
     """Iteratively retire vertices with zero residual in- or out-edges
     (singleton SCCs) — reference trim1,
-    /root/reference/src/scc_kernels.cu:187-233. Operates purely on the
-    residual edge set, filtering it down as vertices retire. Bounded at
-    max_iters per round: the geometric tail isn't worth a Spark job per
-    handful of rows, and missed stragglers retire in later rounds."""
+    /root/reference/src/scc_kernels.cu:187-233. Bounded at max_iters per
+    round: the geometric tail isn't worth a Spark job per handful of
+    rows, and missed stragglers retire in later rounds.
+
+    Edge filtering by a monotone-shrinking vertex set is idempotent, so
+    each iteration derives the current residual LAZILY from the
+    round-entry residual and the live survivor set (a frame that is
+    always materialized when used), and the residual is materialized
+    exactly ONCE after the fixpoint — 2 driver actions per trim
+    iteration instead of 4."""
+    re0 = re
     iters = 0
+    trimmed_any = False
     while a_cnt > 0 and iters < max_iters:
         iters += 1
         runner.bump("Trimm_iterations")
-        has_out = re.select(F.col("src").alias("id")).distinct()
-        has_in = re.select(F.col("dst").alias("id")).distinct()
+        if trimmed_any:
+            sv = _bc(active, a_cnt).select("id")
+            cur = re0.join(sv.withColumnRenamed("id", "src"), "src", "left_semi").join(
+                sv.withColumnRenamed("id", "dst"), "dst", "left_semi"
+            )
+        else:
+            cur = re0
+        has_out = cur.select(F.col("src").alias("id")).distinct()
+        has_in = cur.select(F.col("dst").alias("id")).distinct()
         survivors = active.join(has_out, "id", "left_semi").join(has_in, "id", "left_semi")
         survivors, s_cnt = runner.tick("active_next", survivors)
         trimmed_cnt = a_cnt - s_cnt
@@ -585,18 +702,20 @@ def _trim1_fixpoint(runner, re, re_cnt, active, a_cnt, emit_done, max_iters=4):
                 "id", F.col("id").alias("scc_id")
             )
             emit_done(trimmed)
-            sv = _bc(survivors, s_cnt).select("id")
-            re, re_cnt = runner.tick(
-                "re",
-                re.join(sv.withColumnRenamed("id", "src"), "src", "left_semi").join(
-                    sv.withColumnRenamed("id", "dst"), "dst", "left_semi"
-                ).select("src", "dst", "range"),
-                detach=False,
-            )
+            trimmed_any = True
         runner.promote("active_next", "active")
         active, a_cnt = survivors, s_cnt
         if trimmed_cnt == 0:
             break
+    if trimmed_any:
+        sv = _bc(active, a_cnt).select("id")
+        re, re_cnt = runner.tick(
+            "re",
+            re0.join(sv.withColumnRenamed("id", "src"), "src", "left_semi").join(
+                sv.withColumnRenamed("id", "dst"), "dst", "left_semi"
+            ).select("src", "dst", "range"),
+            detach=False,
+        )
     return active, a_cnt, re, re_cnt
 
 
@@ -661,9 +780,11 @@ def _decompose(runner, re, active, a_cnt, iters):
     )
     und, _ = runner.tick("dec_edges", und.repartition("src"), truncate=False, detach=False)
 
+    from pyspark.sql import Observation
+
     lab, _ = runner.tick("dec_lab", active.select("id", F.col("id").alias("label")))
-    prev_sum = lab.agg(F.sum("label")).first()[0]
-    for _ in range(iters):
+    prev_sum = None  # labels are monotone non-increasing; sum fixpoint = converged
+    for i in range(iters):
         nbr = (
             und.join(lab.select(F.col("id").alias("dst"), F.col("label").alias("nl")), "dst")
             .groupBy("src")
@@ -681,8 +802,11 @@ def _decompose(runner, re, active, a_cnt, iters):
             F.col("id"),
             F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"),
         )
-        lab, _ = runner.tick("dec_lab", l2)
-        new_sum = lab.agg(F.sum("label")).first()[0]
+        # convergence sum rides along as an observed metric of the tick's
+        # own materialization job — no separate agg action per iteration
+        obs = Observation(f"dec_{i}")
+        lab, _ = runner.tick("dec_lab", l2.observe(obs, F.sum("label").alias("s")), count=False)
+        new_sum = obs.get["s"]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

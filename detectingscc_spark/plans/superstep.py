@@ -97,9 +97,20 @@ class SuperstepRunner:
         additively (semi/anti joins and unions keep sizeInBytes linear in
         the superstep count)."""
         if truncate:
-            # eager localCheckpoint both materializes and cuts the plan
-            new = df.localCheckpoint(eager=True)
-            cnt = new.count() if count else None
+            # eager localCheckpoint both materializes and cuts the plan;
+            # the row count rides along as an observed metric of the SAME
+            # job — one driver action per tick, not two
+            if count:
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                new = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+                    eager=True
+                )
+                cnt = int(obs.get["n"])
+            else:
+                new = df.localCheckpoint(eager=True)
+                cnt = None
         else:
             new = df.persist(StorageLevel.MEMORY_AND_DISK)
             if count:

@@ -49,7 +49,29 @@ def test_sha256_invariant(spark):
     assert m1 == m2
 
 
-def test_vertices_dense_and_joinable(spark):
+def test_mint_vertices_fallback_dense_deterministic(spark):
+    """Corpus WITHOUT a fid column takes the rank fallback: ids must be
+    dense 0..n-1, equal to the global (repo, path) sort order, computed
+    without any unpartitioned window over the file rows (plan check)."""
+    from detectingscc_spark.ingest import mint_vertices
+
+    corpus = generate_corpus(spark, N).drop("fid")
+    v = mint_vertices(corpus)
+    rows = v.orderBy("id").collect()
+    assert [r["id"] for r in rows] == list(range(N))
+    expected = sorted((r["repo"], r["path"]) for r in rows)
+    assert [(r["repo"], r["path"]) for r in rows] == expected
+    # deterministic across invocations
+    again = mint_vertices(generate_corpus(spark, N).drop("fid")).orderBy("id").collect()
+    assert rows == again
+    # no single-partition pass over the file dimension: the row_number
+    # window must be PARTITIONED by repo (windowspecdefinition(repo#...);
+    # the only unpartitioned window is the cumulative sum over the
+    # one-row-per-repo aggregate
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(repo#" in line, line
     corpus = generate_corpus(spark, N)
     verts, edges, _ = ingest(spark, corpus)
     assert verts.count() == N

@@ -86,6 +86,48 @@ def test_scc_corpus_ingest_end_to_end(spark):
     assert got == _k(erows, list(range(n)))
 
 
+def test_scc_hub_skew_salted_path(spark, monkeypatch):
+    """Hub-skewed graph (one vertex touches ~50% of edges) driven through
+    the SALTED hub-split join: BROADCAST_ROW_LIMIT is forced to 0 so
+    every hop takes the shuffle path, and hub_degree_threshold=100 makes
+    the hub's adjacency split out and salted across SALT_PARTS
+    partitions. Output must stay exact."""
+    from detectingscc_spark.operators import scc as scc_mod
+    from .oracles import kosaraju_scc as _k
+
+    monkeypatch.setattr(scc_mod, "BROADCAST_ROW_LIMIT", 0)
+    n = 600
+    hub = 0
+    edges = []
+    # ring 0..n-1 (one giant SCC) + hub spokes to/from every 2nd vertex
+    for i in range(n):
+        edges.append((i, (i + 1) % n))
+    for i in range(2, n, 2):
+        edges.append((hub, i))
+        edges.append((i, hub))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = strongly_connected_components(spark, df, hub_degree_threshold=100)
+    got = {r["id"]: r["scc_id"] for r in res.collect()}
+    assert got == _k(edges, list(range(n)))
+    assert len(set(got.values())) == 1  # ring makes it one SCC
+
+
+def test_scc_big_frontier_plain_shuffle_path(spark, monkeypatch):
+    """No hubs above threshold + frontier past the broadcast limit ->
+    the plain shuffle-join branch. Output must stay exact."""
+    from detectingscc_spark.operators import scc as scc_mod
+    from .oracles import kosaraju_scc as _k
+
+    monkeypatch.setattr(scc_mod, "BROADCAST_ROW_LIMIT", 0)
+    n = 400
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edges += [(i, (i + 7) % n) for i in range(0, n, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = strongly_connected_components(spark, df)
+    got = {r["id"]: r["scc_id"] for r in res.collect()}
+    assert got == _k(edges, list(range(n)))
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as se
 

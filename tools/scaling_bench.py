@@ -57,14 +57,29 @@ def run(cpus: int, n_files: int) -> dict:
 
 def main():
     n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "100000"))
-    lo = run(8, n_files)
-    hi = run(32, n_files)
-    eff = (hi["edges_per_sec"] / lo["edges_per_sec"]) / 4.0
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "1"))
+    los, his = [], []
+    for t in range(trials):
+        # alternate order so disk-cache / thermal drift cancels out
+        if t % 2 == 0:
+            los.append(run(8, n_files)); his.append(run(32, n_files))
+        else:
+            his.append(run(32, n_files)); los.append(run(8, n_files))
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    lo_tp = med([x["edges_per_sec"] for x in los])
+    hi_tp = med([x["edges_per_sec"] for x in his])
+    eff = (hi_tp / lo_tp) / 4.0
+    lo, hi = los[0], his[0]
     result = {
         "job": "scc on synthetic import graph",
         "n_files": n_files,
+        "trials": trials,
         "local8": lo,
         "local32": hi,
+        "local8_all_sec": [round(x["wall_sec"], 1) for x in los],
+        "local32_all_sec": [round(x["wall_sec"], 1) for x in his],
+        "local8_median_eps": round(lo_tp, 1),
+        "local32_median_eps": round(hi_tp, 1),
         "scaling_efficiency_8_to_32": round(eff, 3),
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
