@@ -5,6 +5,11 @@ standard streaming surface a link-graph/training pipeline needs:
 
   * `stream_events`        file-source readStream over parquet drops
   * `hourly_counts`        watermarked tumbling-window aggregation
+  * `sessionize_stream`    CUSTOM STATEFUL operator: gap-based sessions
+                           per user via applyInPandasWithState (Arrow
+                           batches, numpy gap-walk, per-user open-session
+                           state carried across micro-batches, event-time
+                           timeout flush at the watermark)
   * `run_to_memory`        availableNow trigger -> in-memory table
                            (test/bootstrap harness; production sinks are
                            parquet/Iceberg via the same writer settings)
@@ -55,6 +60,84 @@ def stream_corpus_edges(spark: SparkSession, input_dir: str, corpus_schema: str)
                 lambda x: x.cast("long"),
             )
         ).alias("dst"),
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming gap-based sessionization (the stateful-streaming
+    complement of the batch analytic-window sessionize query,
+    __spark_entry__.q_sessionize — same 30-min-gap semantics).
+
+    Per micro-batch and user: batch timestamps merge with the carried
+    open session; every gap > gap_minutes CLOSES a session, which is
+    emitted immediately; the trailing open session stays in GroupState
+    with an event-time timeout one gap past its last event, so the
+    watermark eventually flushes it. Output rows therefore match the
+    batch query exactly for all sessions whose closing gap has been
+    observed (tested).
+
+    Emits (user_id, session_seq, n_events, session_start); session_seq is
+    the 1-based per-user session counter, identical to the batch query's
+    running sum of session starts.
+    """
+    import numpy as np
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        user_id = key[0]
+        ts_us = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_us.append(pdf["ts_ltz"].values.astype("datetime64[us]").astype("int64"))
+        if state.hasTimedOut:
+            start_us, last_us, n, seq = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "session_seq": [seq], "n_events": [n],
+                 "session_start": [pd.Timestamp(start_us, unit="us")]}
+            )
+            return
+        ts = np.sort(np.concatenate(ts_us)) if ts_us else np.empty(0, "int64")
+        if ts.size == 0:
+            return
+        if state.exists:
+            start_us, last_us, n, seq = state.get  # open session, n >= 1
+        else:
+            t0 = int(ts[0])
+            start_us, last_us, n, seq = t0, t0, 1, 1
+            ts = ts[1:]
+        out_rows = {"user_id": [], "session_seq": [], "n_events": [], "session_start": []}
+        for t in ts.tolist():
+            if t - last_us > gap_us:
+                out_rows["user_id"].append(user_id)
+                out_rows["session_seq"].append(seq)
+                out_rows["n_events"].append(n)
+                out_rows["session_start"].append(pd.Timestamp(start_us, unit="us"))
+                seq += 1
+                start_us, n = t, 1
+            else:
+                n += 1
+            last_us = t
+        state.update((int(start_us), int(last_us), int(n), int(seq)))
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)  # ms epoch
+        if out_rows["user_id"]:
+            yield pd.DataFrame(out_rows)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events.withColumn("ts_ltz", F.col("ts").cast("timestamp")).withWatermark(
+        "ts_ltz", watermark
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, session_seq long, n_events long, session_start timestamp",
+        stateStructType="start_us long, last_us long, n long, seq long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

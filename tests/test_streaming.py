@@ -10,6 +10,7 @@ from detectingscc_spark.ingest import extract_import_edges
 from detectingscc_spark.streaming.events import (
     hourly_counts,
     run_to_memory,
+    sessionize_stream,
     stream_corpus_edges,
     stream_events,
 )
@@ -37,6 +38,43 @@ def test_stream_hourly_matches_batch(spark, tmp_path):
     )
     exp = {(r["hour"], r["event_type"]): (r["n"], r["sum_value"]) for r in batch}
     assert got == exp
+
+
+def test_stateful_sessionize_closed_sessions_match_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: after one availableNow drain,
+    every CLOSED session (all but each user's last) must match the batch
+    analytic-window sessionize query exactly; the trailing open session
+    per user stays in state awaiting the event-time timeout."""
+    src_dir = tmp_path / "sess_in"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0.parquet")
+    sess = sessionize_stream(stream_events(spark, str(src_dir)))
+    run_to_memory(sess, "sessions_t", output_mode="append")
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["session_start"])
+        for r in spark.table("sessions_t").collect()
+    }
+
+    import __spark_entry__ as se
+
+    batch = se.q_sessionize(spark, SF).collect()
+    last_seq = {}
+    for r in batch:
+        last_seq[r["user_id"]] = max(last_seq.get(r["user_id"], 0), r["session_seq"])
+    all_batch = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["session_start"].replace(tzinfo=None))
+        for r in batch
+    }
+    closed = {
+        k: v for k, v in all_batch.items() if k[1] < last_seq[k[0]]
+    }
+    got_norm = {k: (n, s.replace(tzinfo=None)) for k, (n, s) in got.items()}
+    # every emitted session matches the batch query exactly...
+    for k, v in got_norm.items():
+        assert all_batch[k] == v, (k, v, all_batch.get(k))
+    # ...every gap-closed session was emitted (final sessions may also
+    # appear when the event-time timeout fired before the drain ended)
+    assert set(closed) <= set(got_norm)
 
 
 def test_stream_edge_extraction_matches_batch(spark, tmp_path):
