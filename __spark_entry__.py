@@ -142,6 +142,50 @@ def q_lpa(spark, sf_dir):
     return label_propagation(spark, _edges(spark, sf_dir), rounds=4)
 
 
+PPR_MOD = 50  # personalization source set: ids divisible by 50
+
+
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) to the vertices
+    with id % 50 == 0 — 10 fixed iterations, rank rounded to 8dp."""
+    from detectingscc_spark.graph import derived_vertices
+    from detectingscc_spark.operators.pagerank import personalized_pagerank
+
+    sources = derived_vertices(spark, sf_dir).where(F.col("id") % PPR_MOD == 0)
+    ppr = personalized_pagerank(spark, _edges(spark, sf_dir), sources, fixed_iters=10)
+    return ppr.select("id", F.round("rank", 8).alias("rank8"))
+
+
+def q_kcore(spark, sf_dir):
+    """3-core of the undirected link graph, 8 peeling rounds (fixed depth
+    for the unrolled-CTE oracle; the pytest asserts 8 reaches fixpoint)."""
+    from detectingscc_spark.operators.kcore import kcore
+
+    return kcore(spark, _edges(spark, sf_dir), k=3, rounds=8)
+
+
+def q_reciprocity(spark, sf_dir):
+    """Edge reciprocity of the directed link graph: share of edges whose
+    reverse edge also exists (standard web-graph shape metric)."""
+    e = _edges(spark, sf_dir)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_recip = e.join(rev, ["src", "dst"], "left_semi").count()
+    n_edges = e.count()
+    return spark.createDataFrame(
+        [(n_edges, n_recip)], "n_edges long, n_recip long"
+    ).select(
+        "n_edges",
+        "n_recip",
+        F.round(F.col("n_recip") / F.col("n_edges"), 8).alias("reciprocity"),
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    from detectingscc_spark.functions.text import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
 _CORPUS_ART = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".artifacts", "corpus_scc"
 )
@@ -346,6 +390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_per_vertex": q_triangle_per_vertex,
         "pagerank": q_pagerank,
         "lpa": q_lpa,
+        "ppr": q_ppr,
+        "kcore3": q_kcore,
+        "reciprocity": q_reciprocity,
         "corpus_scc": q_corpus_scc,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -354,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_guess": q_lang_guess,
         "fingerprint": q_fingerprint,
+        "token_counts": q_token_counts,
         "minhash_pairs": q_minhash_pairs,
         "near_dup_jaccard": q_near_dup_jaccard,
         "simhash": q_simhash,
@@ -507,6 +555,17 @@ SELECT doc_id,
        ({_STOP_TERMS})::BIGINT AS stop_hits,
        round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 50.0) * 0.5
              + least(1.0, ({_STOP_TERMS}) / 10.0) * 0.5, 4) AS quality
+FROM documents
+"""
+
+# same pattern string functions/text.py::BPE_TOKEN_RE passes to the JVM
+# regex — explicit character classes only, so Java regex and RE2 agree
+_BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\r\\n]"
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}'))::BIGINT AS n_bpe_tokens
 FROM documents
 """
 
@@ -676,6 +735,96 @@ SELECT id, round(rank, 8) AS rank8 FROM {prev}
 
 
 PAGERANK_SQL = _pagerank_sql(iters=20, damping=0.85)
+
+
+def _ppr_sql(iters: int = 10, damping: float = 0.85, mod: int = 50) -> str:
+    """Personalized PageRank unrolled — mirrors
+    operators/pagerank.py::personalized_pagerank expression by expression:
+    restart AND dangling mass teleport to p(v) = 1[id % mod == 0]/|S|.
+    Final round to 8dp absorbs float sum-reorder noise (same technique as
+    the global-pagerank oracle)."""
+    steps = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT vp.id,
+         (1.0::DOUBLE - {damping}::DOUBLE) * vp.p
+         + {damping}::DOUBLE * (coalesce(c.c, 0.0::DOUBLE) + dm.dm * vp.p) AS rank
+  FROM vp
+  CROSS JOIN (SELECT coalesce(sum(rank), 0.0::DOUBLE) AS dm
+              FROM {prev} WHERE id IN (SELECT id FROM dang)) dm
+  LEFT JOIN (SELECT ew.dst AS id, sum(r.rank * ew.w) AS c
+             FROM ew JOIN {prev} r ON ew.src = r.id GROUP BY ew.dst) c
+    ON vp.id = c.id
+)"""
+        )
+        prev = f"r{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_E}, {_VERTS},
+ns AS MATERIALIZED (SELECT count(*)::DOUBLE AS ns FROM v WHERE id % {mod} = 0),
+vp AS MATERIALIZED (
+  SELECT id, (CASE WHEN id % {mod} = 0 THEN 1 ELSE 0 END)::DOUBLE / (SELECT ns FROM ns) AS p
+  FROM v),
+od AS MATERIALIZED (SELECT src AS id, count(*)::DOUBLE AS od FROM e GROUP BY src),
+ew AS MATERIALIZED (SELECT e.src, e.dst, 1.0::DOUBLE / od.od AS w FROM e JOIN od ON e.src = od.id),
+dang AS MATERIALIZED (SELECT id FROM v WHERE id NOT IN (SELECT id FROM od)),
+r0 AS MATERIALIZED (SELECT id, p AS rank FROM vp),
+{chain}
+SELECT id, round(rank, 8) AS rank8 FROM {prev}
+"""
+
+
+PPR_SQL = _ppr_sql(iters=10, damping=0.85, mod=50)
+
+
+def _kcore_sql(k: int = 3, rounds: int = 8) -> str:
+    """k-core peeling unrolled as `rounds` CTE pairs (surviving edges,
+    surviving ids) — mirrors operators/kcore.py round by round.
+    All-integer: exact."""
+    steps = []
+    prev = "s0"
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT und.a, und.b FROM und
+  JOIN {prev} sa ON und.a = sa.id
+  JOIN {prev} sb ON und.b = sb.id
+),
+s{r} AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT id, count(*) AS deg FROM (
+      SELECT a AS id FROM e{r} UNION ALL SELECT b AS id FROM e{r}
+    ) ends GROUP BY id
+  ) d WHERE deg >= {k}
+)"""
+        )
+        prev = f"s{r}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_E},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst),
+s0 AS MATERIALIZED (SELECT a AS id FROM und UNION SELECT b FROM und),
+{chain}
+SELECT id FROM {prev}
+"""
+
+
+KCORE_SQL = _kcore_sql(k=3, rounds=8)
+
+
+RECIPROCITY_SQL = f"""
+WITH {_E},
+t AS (SELECT count(*) AS n_edges FROM e),
+r AS (SELECT count(*) AS n_recip
+      FROM e e1 JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src)
+SELECT t.n_edges::BIGINT AS n_edges, r.n_recip::BIGINT AS n_recip,
+       round(r.n_recip / t.n_edges::DOUBLE, 8) AS reciprocity
+FROM t, r
+"""
 
 
 def _lpa_sql(rounds: int = 4) -> str:
@@ -900,6 +1049,10 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SESSIONIZE_SQL,
         "pagerank": PAGERANK_SQL,
         "lpa": LPA_SQL,
+        "ppr": PPR_SQL,
+        "kcore3": KCORE_SQL,
+        "reciprocity": RECIPROCITY_SQL,
+        "token_counts": TOKEN_COUNTS_SQL,
         "corpus_scc": CORPUS_SCC_SQL,
         "simhash": SIMHASH_SQL,
         "ann_lsh": ANN_LSH_SQL,

@@ -54,6 +54,31 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer, reduced to constructs whose semantics are
+# identical in Java regex (Spark) and the RE2-ish engines of other SQL
+# systems: explicit character classes only (no \s, whose class membership
+# differs across engines), longest-alternative-first.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\r\\n]"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish subword-boundary token count: letter runs count once, each
+    digit separately (GPT-2 convention), punctuation char-by-char;
+    whitespace never counts. Vectorized JVM regex — no Python."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace vs BPE-ish counts,
+    the pair a training-data token-budget accountant needs."""
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(text).alias("n_ws_tokens"),
+        token_count_bpe(text).alias("n_bpe_tokens"),
+    )
+
+
 LANG_MARKERS = {
     "en": (" the ", " and "),
     "dataish": (" data ", " table "),

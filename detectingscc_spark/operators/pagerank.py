@@ -104,3 +104,88 @@ def pagerank(
     for s in ("verts", "edges", "dangling"):
         runner.release(s)
     return result
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    damping: float = 0.85,
+    fixed_iters: int = 10,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Random-walk-with-restart PageRank personalized to a source set.
+
+    rank_{t+1}(v) = (1-d)*p(v) + d * (Σ_{u→v} rank_t(u)/outdeg(u) + dangling_t*p(v))
+
+    where p(v) = 1/|S| for v in `sources` (a DataFrame with an `id`
+    column) and 0 elsewhere; the restart AND the dangling mass both teleport
+    to the source set, so Σ rank = 1 every step and mass never leaks to
+    vertices unreachable from S. Fixed-depth deterministic recurrence —
+    the DuckDB oracle unrolls it (PPR_SQL in __spark_entry__) mirroring
+    this expression order, like the global-pagerank oracle.
+
+    Scale notes: identical plan shape to `pagerank` — the per-iteration
+    shuffle is the contrib groupBy(dst); p rides as a column of the
+    vertex frame (no extra shuffle); the dangling sum is a scalar agg
+    folded into the same job via a broadcast 1-row cross join.
+    """
+    runner = runner or SuperstepRunner(spark, run_id="ppr")
+    E = (
+        edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    verts = E.select(F.col("src").alias("id")).union(E.select(F.col("dst").alias("id"))).distinct()
+    S = sources.select(F.col("id").cast("long")).distinct()
+    n_src = S.count()
+    if n_src == 0:
+        raise ValueError("personalized_pagerank: empty source set")
+    # p(v) folded into the vertex frame once
+    vp = verts.join(S.withColumn("in_s", F.lit(1)), "id", "left").select(
+        "id", (F.coalesce(F.col("in_s"), F.lit(0)) / F.lit(float(n_src))).alias("p")
+    )
+    vp, _ = runner.tick("verts", vp, detach=False)
+
+    outdeg = E.groupBy("src").count().select(F.col("src").alias("id"), F.col("count").alias("od"))
+    Ew = E.join(outdeg, E["src"] == outdeg["id"]).select("src", "dst", (F.lit(1.0) / F.col("od")).alias("w"))
+    Ew, _ = runner.tick("edges", Ew.repartition("src"), detach=False)
+    dangling_ids = vp.select("id").join(outdeg, "id", "left_anti")
+    dangling_ids, _ = runner.tick("dangling", dangling_ids, detach=False)
+
+    rank = vp.select("id", F.col("p").alias("rank"))
+    rank, _ = runner.tick("rank", rank)
+
+    for i in range(fixed_iters):
+        runner.superstep = i + 1
+        runner.bump("iterations")
+        dm = (
+            rank.join(dangling_ids, "id", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            Ew.join(rank.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+            .select(F.col("dst").alias("id"), "c")
+        )
+        new_rank = (
+            vp.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") * F.col("p"))
+                ).alias("rank"),
+            )
+        )
+        new_rank, _ = runner.tick("rank_next", new_rank, count=False)
+        runner.promote("rank_next", "rank")
+        rank = new_rank
+    result = rank.select("id", "rank")
+    for s in ("verts", "edges", "dangling"):
+        runner.release(s)
+    return result

@@ -148,3 +148,50 @@ def triangles_brute(edges: list[tuple[int, int]]) -> tuple[int, dict[int, int]]:
                     per[a] += 1
                     per[b] += 1
     return total, dict(per)
+
+
+def ppr_numpy(
+    edges: list[tuple[int, int]],
+    sources: list[int],
+    damping: float = 0.85,
+    iters: int = 10,
+) -> dict[int, float]:
+    """Personalized PageRank: restart and dangling mass both teleport to
+    the uniform distribution over `sources`."""
+    eset = {(s, d) for s, d in edges if s != d}
+    ids = sorted({s for s, _ in eset} | {d for _, d in eset})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    p = np.zeros(n)
+    for v in sources:
+        p[idx[v]] = 1.0 / len(sources)
+    out = Counter(s for s, _ in eset)
+    targets = defaultdict(list)
+    for s, d in eset:
+        targets[idx[s]].append(idx[d])
+    dangling = np.array([out[v] == 0 for v in ids])
+    r = p.copy()
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for si, ds in targets.items():
+            share = r[si] / len(ds)
+            for di in ds:
+                contrib[di] += share
+        dm = r[dangling].sum()
+        r = (1 - damping) * p + damping * (contrib + dm * p)
+    return {v: r[idx[v]] for v in ids}
+
+
+def kcore_peel(edges: list[tuple[int, int]], k: int) -> set[int]:
+    """k-core by peeling to fixpoint on the undirected simple graph."""
+    und = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            und[s].add(d)
+            und[d].add(s)
+    alive = set(und)
+    while True:
+        drop = {v for v in alive if len(und[v] & alive) < k}
+        if not drop:
+            return alive
+        alive -= drop

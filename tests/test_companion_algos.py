@@ -61,3 +61,49 @@ def test_triangles(spark, g128):
     for vid, cnt in per_exp.items():
         assert got[vid] == cnt
     assert sum(got.values()) == 3 * total_exp
+
+
+def test_personalized_pagerank_allclose(spark, g128):
+    from detectingscc_spark.operators.pagerank import personalized_pagerank
+
+    from .oracles import ppr_numpy
+
+    edges, erows, v = g128
+    src_ids = sorted({s for s, _ in erows} | {d for _, d in erows})
+    sources = [i for i in src_ids if i % 5 == 0]
+    sdf = spark.createDataFrame([(i,) for i in sources], "id long")
+    got = {r["id"]: r["rank"] for r in personalized_pagerank(spark, edges, sdf, fixed_iters=10).collect()}
+    exp = ppr_numpy(erows, sources, iters=10)
+    assert set(got) == set(exp)
+    ga = np.array([got[i] for i in sorted(got)])
+    ea = np.array([exp[i] for i in sorted(exp)])
+    assert np.allclose(ga, ea, atol=1e-9)
+    assert abs(ga.sum() - 1.0) < 1e-9  # mass conserved (teleport to S)
+    # mass is confined to vertices reachable from S
+    assert all(got[i] >= 0.0 for i in got)
+
+
+def test_kcore_fixpoint_matches_peeling_oracle(spark, g128):
+    from detectingscc_spark.operators.kcore import kcore
+
+    from .oracles import kcore_peel
+
+    edges, erows, v = g128
+    for k in (2, 3):
+        got = {r["id"] for r in kcore(spark, edges, k=k).collect()}
+        assert got == kcore_peel(erows, k)
+
+
+def test_kcore_query_fixed_rounds_reaches_fixpoint(spark):
+    """q_kcore pins rounds=8 for the unrolled SQL oracle; assert 8 rounds
+    IS the fixpoint on the derived sf0.001 graph (so the fixed-depth
+    query equals true 3-core semantics there)."""
+    from detectingscc_spark.graph import derived_edges
+    from detectingscc_spark.operators.kcore import kcore
+
+    from .oracles import kcore_peel
+
+    e = derived_edges(spark, "/root/testdata/sf0.001")
+    erows = [(r["src"], r["dst"]) for r in e.collect()]
+    got = {r["id"] for r in kcore(spark, e, k=3, rounds=8).collect()}
+    assert got == kcore_peel(erows, 3)

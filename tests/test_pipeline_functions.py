@@ -199,3 +199,32 @@ def test_multimodal_plumbing(spark):
     assert frames.select("media_id").distinct().count() == vids
     with pytest.raises(NotImplementedError):
         extract_features(media, fake=False)
+
+
+def test_token_counts_vs_python_re(spark, docs):
+    import re
+
+    from detectingscc_spark.functions.text import BPE_TOKEN_RE, token_counts
+
+    got = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+           for r in token_counts(docs).collect()}
+    pat = re.compile(BPE_TOKEN_RE)
+    for row in docs.select("doc_id", "text").collect():
+        text = row["text"]
+        ws = text.count(" ") + 1
+        bpe = len(pat.findall(text))
+        assert got[row["doc_id"]] == (ws, bpe), row["doc_id"]
+
+    # the corpus is pure lowercase words (ws == bpe there); exercise the
+    # digit/punct/mixed-case splitting on constructed rows
+    cases = [
+        (1, "foo12, bar!"),            # foo,1,2,",",bar,"!" -> 6
+        (2, "df.groupBy(x).agg(n)"),   # mixed code-ish text
+        (3, "a  b\tc\nd"),             # whitespace never counts
+        (4, "2024-01-02T00:00:00Z"),
+    ]
+    cdf = spark.createDataFrame(cases, "doc_id long, text string")
+    got2 = {r["doc_id"]: r["n_bpe_tokens"] for r in token_counts(cdf).collect()}
+    for i, text in cases:
+        assert got2[i] == len(pat.findall(text)), (i, text)
+    assert got2[1] == 6
