@@ -186,6 +186,27 @@ def q_token_counts(spark, sf_dir):
     return token_counts(_docs(spark, sf_dir))
 
 
+_MEDIA_ART = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".artifacts", "media"
+)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal pipeline end-to-end: synthetic binary media -> Arrow
+    mapInPandas feature extraction (the deterministic fake decoder, dim=16
+    = first 16 bytes of sha256(payload) / 256). The media table
+    round-trips through parquet (payload as its ASCII form) so the DuckDB
+    oracle recomputes the same features from the same bytes — full value
+    gate for the multimodal plumbing, not just a pytest shape check."""
+    from detectingscc_spark.functions.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 256)
+    media.select(
+        "media_id", "kind", F.col("payload").cast("string").alias("payload")
+    ).write.mode("overwrite").parquet(_MEDIA_ART)
+    return extract_features(media, dim=16)
+
+
 _CORPUS_ART = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".artifacts", "corpus_scc"
 )
@@ -402,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": q_lang_guess,
         "fingerprint": q_fingerprint,
         "token_counts": q_token_counts,
+        "media_features": q_media_features,
         "minhash_pairs": q_minhash_pairs,
         "near_dup_jaccard": q_near_dup_jaccard,
         "simhash": q_simhash,
@@ -816,6 +838,19 @@ SELECT id FROM {prev}
 KCORE_SQL = _kcore_sql(k=3, rounds=8)
 
 
+MEDIA_FEATURES_SQL = f"""
+WITH m AS (
+  SELECT media_id, kind, sha256(payload) AS hx
+  FROM read_parquet('{_MEDIA_ART}/*.parquet')
+)
+SELECT media_id, kind,
+       [((strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16.0
+         + (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1)) / 256.0
+        FOR i IN generate_series(0, 15)] AS feature
+FROM m
+"""
+
+
 RECIPROCITY_SQL = f"""
 WITH {_E},
 t AS (SELECT count(*) AS n_edges FROM e),
@@ -1053,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore3": KCORE_SQL,
         "reciprocity": RECIPROCITY_SQL,
         "token_counts": TOKEN_COUNTS_SQL,
+        "media_features": MEDIA_FEATURES_SQL,
         "corpus_scc": CORPUS_SCC_SQL,
         "simhash": SIMHASH_SQL,
         "ann_lsh": ANN_LSH_SQL,
