@@ -5,7 +5,7 @@
   spark-submit --py-files detectingscc_spark.zip -m detectingscc_spark ...
 
 Algorithms: scc (FB-Trim ~ vHong/wHong), scc-coloring (~ vSlota/wSlota),
-scc-partitioned (~ detectSCC), cc, pagerank, lpa, triangles. Input is an
+scc-partitioned (~ detectSCC), cc, pagerank, lpa, triangles, kcore. Input is an
 edge parquet/GTgraph file; outputs parquet + a metrics JSON
 (reference prints `Number Of Sccs` + `Time`, scc_WCC.cu:538-539 — we
 persist the same plus the per-phase counters it tracks at :600-603).
@@ -23,7 +23,8 @@ def main():
     ap = argparse.ArgumentParser(prog="detectingscc_spark")
     ap.add_argument("--algo", required=True,
                     choices=["scc", "scc-coloring", "scc-partitioned", "scc-csr",
-                             "cc", "pagerank", "lpa", "triangles"])
+                             "cc", "pagerank", "lpa", "triangles", "kcore"])
+    ap.add_argument("--k", type=int, default=3, help="k for --algo kcore")
     ap.add_argument("--input", required=True, help="edge parquet dir or GTgraph .gr file")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint-dir", default=None)
@@ -105,6 +106,11 @@ def main():
 
         result = label_propagation(spark, edges, vertices, runner=runner)
         n_groups = result.select("label").distinct().count()
+    elif args.algo == "kcore":
+        from .operators.kcore import kcore
+
+        result = kcore(spark, edges, k=args.k, runner=runner)
+        n_groups = result.count()
     else:
         from .operators.triangles import triangle_count_per_vertex
 

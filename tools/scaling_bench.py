@@ -47,8 +47,17 @@ print(json.dumps({"cpus": int(cpus), "wall_sec": dt,
 
 def run(cpus: int, n_files: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_BENCH_FILES=str(n_files))
+    cmd = [sys.executable, "-c", CHILD % {"repo": REPO}]
+    # Pin the whole process tree (JVM GC/shuffle/IO threads, Python
+    # workers) to exactly `cpus` cores: an N-core executor HAS only N
+    # cores, so letting the local[8] JVM's auxiliary threads spill onto
+    # the other 24 would overstate the 8-way baseline and understate
+    # scaling efficiency.
+    import shutil
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", CHILD % {"repo": REPO}],
+        cmd,
         env=env, capture_output=True, text=True, timeout=3600,
     )
     for line in reversed(out.stdout.strip().splitlines()):
@@ -88,7 +97,8 @@ def main():
     with open(os.path.join(REPO, "tools", "scaling_result.json"), "w") as f:
         json.dump(result, f, indent=2)
     row = (
-        f"\n| scaling run {result['ts']} | local[8]: {lo['wall_sec']:.1f}s "
+        f"\n| scaling run {result['ts']} ({n_files / 1e6:g}M files, {trials} trial(s)) "
+        f"| local[8]: {lo['wall_sec']:.1f}s "
         f"({lo['edges_per_sec']:.0f} e/s) | local[32]: {hi['wall_sec']:.1f}s "
         f"({hi['edges_per_sec']:.0f} e/s) | efficiency {eff:.3f} |"
     )
