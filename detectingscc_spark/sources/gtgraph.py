@@ -47,6 +47,27 @@ def gtgraph_meta(spark: SparkSession, path: str) -> tuple[int, int]:
     return int(row["v"]), int(row["e"])
 
 
+def write_metis_partition(parts: DataFrame, path: str, n_verts: int | None = None) -> None:
+    """(id, part) DataFrame → METIS `.part` text file: line i holds the
+    partition label of vertex i (1-indexed), the format the reference
+    emits at /root/reference/src/MetisInput.cpp:114-131.
+
+    Compatibility sink for interop with METIS tooling on small/debug
+    graphs — it is inherently a single ordered text file, so it collects
+    to the driver by design. The SCALE path is the native one: partition
+    labels live as a `part` column in the vertex parquet (see ingest.py),
+    which is what every operator here consumes.
+    """
+    rows = parts.select(
+        F.col("id").cast("long").alias("id"), F.col("part").cast("int").alias("part")
+    ).collect()
+    labels = {int(r["id"]): int(r["part"]) for r in rows}
+    n = n_verts if n_verts is not None else (max(labels) if labels else 0)
+    with open(path, "w") as f:
+        for i in range(1, n + 1):
+            f.write(f"{labels.get(i, 0)}\n")
+
+
 def read_metis_partition(spark: SparkSession, path: str) -> DataFrame:
     """METIS `.part` file → (id: long, part: int); one label per line,
     vertex ids implicit by line order, 1-indexed (mirrors

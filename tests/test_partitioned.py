@@ -53,3 +53,22 @@ def test_partitioned_on_corpus_graph(spark):
     got = {r["id"]: r["scc_id"] for r in res.collect()}
     erows = [(r["src"], r["dst"]) for r in edges.collect()]
     assert got == kosaraju_scc(erows, list(range(n)))
+
+
+def test_metis_sink_roundtrip(spark, tmp_path):
+    """write_metis_partition emits the reference's .part format: reading
+    the reference's shipped labeling and writing it back is byte-stable."""
+    from detectingscc_spark.sources.gtgraph import write_metis_partition
+
+    labels = read_metis_partition(spark, METIS_PART)
+    out = tmp_path / "roundtrip.part.10"
+    write_metis_partition(labels, str(out))
+    reread = read_metis_partition(spark, str(out))
+    a = {(r["id"], r["part"]) for r in labels.collect()}
+    b = {(r["id"], r["part"]) for r in reread.collect()}
+    assert a == b
+    with open(METIS_PART) as f:
+        orig = [int(x) for x in f.read().split()]
+    with open(out) as f:
+        ours = [int(x) for x in f.read().split()]
+    assert orig == ours
