@@ -86,6 +86,34 @@ def q_scc_sizes(spark, sf_dir):
     )
 
 
+def _sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically sparsified derived graph ((src*31+dst)%13==0 —
+    ~1/13 of the edges): the full derived graph is one giant SCC at the
+    driver's scale factors, so DAG-structure queries use this subgraph,
+    which decomposes into dozens of SCCs with real cross edges."""
+    e = _edges(spark, sf_dir)
+    return e.where((F.col("src") * 31 + F.col("dst")) % 13 == 0)
+
+
+def q_scc_dag(spark, sf_dir):
+    """Condensation DAG: distinct (scc_id(src) -> scc_id(dst)) edges
+    between different components — the contracted graph the partitioned
+    engine's merge phase operates on (operators/partitioned.py), exposed
+    as a first-class query over the sparsified derived graph."""
+    from detectingscc_spark.operators.scc import strongly_connected_components
+
+    e = _sparse_edges(spark, sf_dir)
+    scc = strongly_connected_components(spark, e, local_finish_edges=20_000)
+    s = scc.withColumnRenamed("id", "src").withColumnRenamed("scc_id", "from_scc")
+    t = scc.withColumnRenamed("id", "dst").withColumnRenamed("scc_id", "to_scc")
+    return (
+        e.join(s, "src").join(t, "dst")
+        .where(F.col("from_scc") != F.col("to_scc"))
+        .select("from_scc", "to_scc")
+        .distinct()
+    )
+
+
 def q_wcc(spark, sf_dir):
     from detectingscc_spark.operators.components import connected_components
 
@@ -404,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_partitioned": q_scc_partitioned,
         "scc_coloring": q_scc_coloring,
         "scc_sizes": q_scc_sizes,
+        "scc_dag": q_scc_dag,
         "wcc": q_wcc,
         "degrees": q_degrees,
         "trim1_round1": q_trim1_round1,
@@ -468,6 +497,24 @@ scc AS (
 ),
 sz AS (SELECT scc_id, count(*) AS members FROM scc GROUP BY scc_id)
 SELECT members, count(*) AS n_sccs FROM sz GROUP BY members
+"""
+
+SCC_DAG_SQL = f"""
+WITH RECURSIVE {_E},
+es AS (SELECT src, dst FROM e WHERE (src * 31 + dst) % 13 = 0),
+v AS (SELECT src AS id FROM es UNION SELECT dst FROM es),
+reach(a, b) AS (SELECT src, dst FROM es UNION
+                SELECT r.a, es.dst FROM reach r JOIN es ON r.b = es.src),
+mutual AS (
+  SELECT r1.a, r1.b FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+scc AS (
+  SELECT v.id AS id, least(v.id, coalesce(min(m.b), v.id)) AS scc_id
+  FROM v LEFT JOIN mutual m ON v.id = m.a GROUP BY v.id
+)
+SELECT DISTINCT s.scc_id AS from_scc, t.scc_id AS to_scc
+FROM es JOIN scc s ON es.src = s.id JOIN scc t ON es.dst = t.id
+WHERE s.scc_id <> t.scc_id
 """
 
 WCC_SQL = f"""
@@ -1064,6 +1111,7 @@ def oracle_sql() -> dict[str, str]:
         "scc_partitioned": SCC_SQL,
         "scc_coloring": SCC_SQL,
         "scc_sizes": SCC_SIZES_SQL,
+        "scc_dag": SCC_DAG_SQL,
         "wcc": WCC_SQL,
         "degrees": DEGREES_SQL,
         "trim1_round1": TRIM1_SQL,
