@@ -192,6 +192,16 @@ def q_kcore(spark, sf_dir):
     return kcore(spark, _edges(spark, sf_dir), k=3, rounds=8)
 
 
+def q_bfs_dist(spark, sf_dir):
+    """Multi-source directed BFS hop distances from the vertices with
+    id % 100 == 0 (capped at 64 hops; unreachable vertices absent)."""
+    from detectingscc_spark.graph import derived_vertices
+    from detectingscc_spark.operators.bfs import bfs_distances
+
+    sources = derived_vertices(spark, sf_dir).where(F.col("id") % 100 == 0)
+    return bfs_distances(spark, _edges(spark, sf_dir), sources, max_hops=64)
+
+
 def q_reciprocity(spark, sf_dir):
     """Edge reciprocity of the directed link graph: share of edges whose
     reverse edge also exists (standard web-graph shape metric)."""
@@ -442,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa": q_lpa,
         "ppr": q_ppr,
         "kcore3": q_kcore,
+        "bfs_dist": q_bfs_dist,
         "reciprocity": q_reciprocity,
         "corpus_scc": q_corpus_scc,
         "pricing_summary": q_pricing_summary,
@@ -898,6 +909,18 @@ FROM m
 """
 
 
+BFS_DIST_SQL = f"""
+WITH RECURSIVE {_E}, {_VERTS},
+s AS (SELECT id FROM v WHERE id % 100 = 0),
+walk(id, dist) AS (
+  SELECT id, 0 FROM s
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON w.id = e.src WHERE w.dist < 64
+)
+SELECT id, min(dist)::BIGINT AS dist FROM walk GROUP BY id
+"""
+
+
 RECIPROCITY_SQL = f"""
 WITH {_E},
 t AS (SELECT count(*) AS n_edges FROM e),
@@ -1134,6 +1157,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa": LPA_SQL,
         "ppr": PPR_SQL,
         "kcore3": KCORE_SQL,
+        "bfs_dist": BFS_DIST_SQL,
         "reciprocity": RECIPROCITY_SQL,
         "token_counts": TOKEN_COUNTS_SQL,
         "media_features": MEDIA_FEATURES_SQL,

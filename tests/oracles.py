@@ -195,3 +195,22 @@ def kcore_peel(edges: list[tuple[int, int]], k: int) -> set[int]:
         if not drop:
             return alive
         alive -= drop
+
+
+def bfs_dist(edges: list[tuple[int, int]], sources: list[int]) -> dict[int, int]:
+    """Multi-source directed BFS hop distances (python deque oracle)."""
+    from collections import deque
+
+    adj = defaultdict(list)
+    for s, d in edges:
+        if s != d:
+            adj[s].append(d)
+    dist = {v: 0 for v in sources}
+    q = deque(sources)
+    while q:
+        v = q.popleft()
+        for w in adj[v]:
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                q.append(w)
+    return dist

@@ -107,3 +107,15 @@ def test_kcore_query_fixed_rounds_reaches_fixpoint(spark):
     erows = [(r["src"], r["dst"]) for r in e.collect()]
     got = {r["id"] for r in kcore(spark, e, k=3, rounds=8).collect()}
     assert got == kcore_peel(erows, 3)
+
+
+def test_bfs_distances_vs_python(spark, g128):
+    from detectingscc_spark.operators.bfs import bfs_distances
+
+    from .oracles import bfs_dist
+
+    edges, erows, v = g128
+    sources = [i for i in range(1, v + 1) if i % 16 == 0]
+    sdf = spark.createDataFrame([(i,) for i in sources], "id long")
+    got = {r["id"]: r["dist"] for r in bfs_distances(spark, edges, sdf).collect()}
+    assert got == bfs_dist(erows, sources)
