@@ -10,6 +10,10 @@ standard streaming surface a link-graph/training pipeline needs:
                            batches, numpy gap-walk, per-user open-session
                            state carried across micro-batches, event-time
                            timeout flush at the watermark)
+  * `dedup_stream`         streaming exact dedup: sha256 content key,
+                           dropDuplicatesWithinWatermark (state bounded
+                           by the watermark horizon, the scale-safe form
+                           of streaming dedup)
   * `run_to_memory`        availableNow trigger -> in-memory table
                            (test/bootstrap harness; production sinks are
                            parquet/Iceberg via the same writer settings)
@@ -138,6 +142,27 @@ def sessionize_stream(
         stateStructType="start_us long, last_us long, n long, seq long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def dedup_stream(
+    docs: DataFrame, ts_col: str = "ts", key_cols: tuple[str, ...] = ("content_sha",), watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact deduplication — the incremental complement of the
+    batch `functions.dedup.exact_dedup` (same sha256-content identity).
+
+    Rows carrying a key already seen within the watermark horizon are
+    dropped; `dropDuplicatesWithinWatermark` bounds the dedup state by
+    event time, which is what makes streaming dedup viable at corpus
+    scale (an unbounded `dropDuplicates` would grow state forever).
+    Expects a `content` column (the sha key is derived here) and an
+    event-time column `ts_col`.
+    """
+    keyed = docs.withColumn("content_sha", F.sha2(F.col("content"), 256)).withColumn(
+        "ts_wm", F.col(ts_col).cast("timestamp")
+    )
+    return keyed.withWatermark("ts_wm", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
     )
 
 

@@ -91,3 +91,31 @@ def test_stream_edge_extraction_matches_batch(spark, tmp_path):
         for r in extract_import_edges(corpus).select("src", "dst").collect()
     }
     assert got == exp
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedup: one survivor per distinct
+    content within the horizon, matching batch exact-dedup identity."""
+    import pyspark.sql.functions as F
+
+    from detectingscc_spark.streaming.events import dedup_stream, run_to_memory
+
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    base = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body "), (F.col("id") % 20)).alias("content"),  # 3x dup per body
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60).alias("ts"),
+    )
+    base.write.mode("overwrite").parquet(str(src_dir))
+    stream = spark.readStream.schema("doc_id long, content string, ts timestamp").parquet(str(src_dir))
+    deduped = dedup_stream(stream, ts_col="ts")
+    run_to_memory(deduped, "dedup_t", output_mode="append")
+    got = spark.table("dedup_t").collect()
+    shas = [r["content_sha"] for r in got]
+    assert len(shas) == 20, f"expected 20 survivors, got {len(shas)}"
+    assert len(set(shas)) == 20
+    batch_shas = {
+        r["sha"] for r in base.select(F.sha2("content", 256).alias("sha")).distinct().collect()
+    }
+    assert set(shas) == batch_shas
