@@ -5,7 +5,7 @@
   spark-submit --py-files detectingscc_spark.zip -m detectingscc_spark ...
 
 Algorithms: scc (FB-Trim ~ vHong/wHong), scc-coloring (~ vSlota/wSlota),
-scc-partitioned (~ detectSCC), cc, pagerank, lpa, triangles, kcore. Input is an
+scc-partitioned (~ detectSCC), cc, pagerank, ppr, lpa, triangles, kcore, bfs. Input is an
 edge parquet/GTgraph file; outputs parquet + a metrics JSON
 (reference prints `Number Of Sccs` + `Time`, scc_WCC.cu:538-539 — we
 persist the same plus the per-phase counters it tracks at :600-603).
@@ -23,8 +23,11 @@ def main():
     ap = argparse.ArgumentParser(prog="detectingscc_spark")
     ap.add_argument("--algo", required=True,
                     choices=["scc", "scc-coloring", "scc-partitioned", "scc-csr",
-                             "cc", "pagerank", "lpa", "triangles", "kcore"])
+                             "cc", "pagerank", "ppr", "lpa", "triangles", "kcore",
+                             "bfs"])
     ap.add_argument("--k", type=int, default=3, help="k for --algo kcore")
+    ap.add_argument("--sources-mod", type=int, default=100,
+                    help="ppr/bfs source set: vertices with id %% mod == 0")
     ap.add_argument("--input", required=True, help="edge parquet dir or GTgraph .gr file")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint-dir", default=None)
@@ -110,6 +113,22 @@ def main():
         from .operators.kcore import kcore
 
         result = kcore(spark, edges, k=args.k, runner=runner)
+        n_groups = result.count()
+    elif args.algo in ("ppr", "bfs"):
+        from pyspark.sql import functions as F
+
+        ids = edges.select(F.col("src").alias("id")).union(
+            edges.select(F.col("dst").alias("id"))
+        ).distinct()
+        sources = ids.where(F.col("id") % args.sources_mod == 0)
+        if args.algo == "ppr":
+            from .operators.pagerank import personalized_pagerank
+
+            result = personalized_pagerank(spark, edges, sources, runner=runner)
+        else:
+            from .operators.bfs import bfs_distances
+
+            result = bfs_distances(spark, edges, sources, runner=runner)
         n_groups = result.count()
     else:
         from .operators.triangles import triangle_count_per_vertex
