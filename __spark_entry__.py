@@ -235,14 +235,21 @@ def q_media_features(spark, sf_dir):
     = first 16 bytes of sha256(payload) / 256). The media table
     round-trips through parquet (payload as its ASCII form) so the DuckDB
     oracle recomputes the same features from the same bytes — full value
-    gate for the multimodal plumbing, not just a pytest shape check."""
+    gate for the multimodal plumbing, not just a pytest shape check.
+
+    Output is exploded to scalar rows (media_id, kind, dim_idx, value) —
+    one row per feature dimension — because the driver's pandas
+    canonicalizer cannot sort/hash array<double> cells."""
     from detectingscc_spark.functions.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, 256)
     media.select(
         "media_id", "kind", F.col("payload").cast("string").alias("payload")
     ).write.mode("overwrite").parquet(_MEDIA_ART)
-    return extract_features(media, dim=16)
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_id", "kind", F.posexplode("feature").alias("dim_idx", "value")
+    ).withColumn("dim_idx", F.col("dim_idx").cast("long"))
 
 
 _CORPUS_ART = os.path.join(
@@ -407,6 +414,28 @@ def q_ann_ivf(spark, sf_dir):
     return ann_topk_ivf(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+_IVF_CENT_ART = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".artifacts", "ivf_centroids"
+)
+
+
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF with a TRAINED spherical-k-means coarse quantizer
+    (deterministic sample + farthest-point init + Lloyd iterations, see
+    similarity.train_ivf_centroids). The trained centroids are persisted
+    to parquet so the DuckDB oracle probes the SAME quantizer — the
+    training itself is deterministic, so repeated runs re-derive
+    identical centroids."""
+    from detectingscc_spark.functions.similarity import ann_topk_ivf, train_ivf_centroids
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(emb, n_centroids=16, iters=5)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(_IVF_CENT_ART)
+    return ann_topk_ivf(emb, query_ids=[0, 1, 2, 3, 4], k=5, centroids=cents)
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -471,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
     }
@@ -901,11 +931,10 @@ WITH m AS (
   SELECT media_id, kind, sha256(payload) AS hx
   FROM read_parquet('{_MEDIA_ART}/*.parquet')
 )
-SELECT media_id, kind,
-       [((strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16.0
-         + (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1)) / 256.0
-        FOR i IN generate_series(0, 15)] AS feature
-FROM m
+SELECT media_id, kind, i AS dim_idx,
+       ((strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16.0
+        + (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1)) / 256.0 AS value
+FROM m, generate_series(0, 15) AS t(i)
 """
 
 
@@ -1000,7 +1029,7 @@ def _simhash_sql() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, tok
-  FROM documents, LATERAL unnest(string_split_regex(text, '\\s+')) AS t(tok)
+  FROM documents, LATERAL unnest(string_split_regex(text, '[ \\t\\r\\n\\x0B\\f]+')) AS t(tok)
   WHERE length(tok) > 0
 ),
 h AS (SELECT doc_id, sha256(tok) AS sha FROM toks),
@@ -1075,18 +1104,22 @@ ANN_LSH_SQL = _ann_lsh_sql()
 
 def _ann_ivf_sql(
     query_ids=(0, 1, 2, 3, 4), k: int = 5, n_centroids: int = 16, n_probe: int = 8,
+    cents_sql: str | None = None,
 ) -> str:
     """Mirrors functions/similarity.py ann_topk_ivf: centroid j =
-    embedding j; cell = argmax cosine (ties -> lowest cid); probe the
-    n_probe nearest cells; exact re-rank."""
+    embedding j (or `cents_sql` — e.g. the persisted TRAINED centroids);
+    cell = argmax cosine (ties -> lowest cid); probe the n_probe nearest
+    cells; exact re-rank."""
     ids = ",".join(str(int(i)) for i in query_ids)
+    if cents_sql is None:
+        cents_sql = f"SELECT vec_id AS cid, v AS cv, norm AS cn FROM base WHERE vec_id < {n_centroids}"
     return f"""
 WITH base AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS norm
   FROM embeddings
 ),
-cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM base WHERE vec_id < {n_centroids}),
+cents AS ({cents_sql}),
 ascore AS MATERIALIZED (
   SELECT b.vec_id, c.cid,
          round(list_dot_product(b.v, c.cv) / (b.norm * c.cn), 6) AS ccos
@@ -1127,6 +1160,14 @@ SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {k}
 
 ANN_IVF_SQL = _ann_ivf_sql()
 
+ANN_IVF_TRAINED_SQL = _ann_ivf_sql(
+    cents_sql=(
+        "SELECT cid, cv, "
+        "sqrt(list_aggregate(list_transform(cv, x -> x*x), 'sum')) AS cn "
+        f"FROM read_parquet('{_IVF_CENT_ART}/*.parquet')"
+    )
+)
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1165,4 +1206,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SIMHASH_SQL,
         "ann_lsh": ANN_LSH_SQL,
         "ann_ivf": ANN_IVF_SQL,
+        "ann_ivf_trained": ANN_IVF_TRAINED_SQL,
     }

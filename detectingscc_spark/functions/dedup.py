@@ -107,8 +107,12 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     """
     if bits != 64:
         raise ValueError("simhash: only bits=64 is supported")
+    # explicit whitespace class, NOT \s: Java regex counts \x0B as \s but
+    # RE2 (the DuckDB oracle engine) does not — persisted dedup keys must
+    # not depend on which engine tokenized (same discipline as
+    # functions/text.py's BPE_TOKEN_RE)
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+        "doc_id", F.explode(F.split(F.col("text"), "[ \\t\\r\\n\\x0B\\f]+")).alias("tok")
     ).where(F.length("tok") > 0)
     h = toks.select("doc_id", F.sha2(F.col("tok"), 256).alias("sha"))
     aggs = [F.count("*").alias("n")]

@@ -152,21 +152,91 @@ def lsh_buckets_multi(
     )
 
 
-def ivf_cells(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
-    """(vec_id, cell) — IVF coarse quantizer: centroid j = the embedding
-    with vec_id == j (deterministic anchor points, no RNG/k-means state);
-    cell = argmax cosine over centroids, ties -> lowest centroid id.
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_cap: int = 10_000,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer, trained on a deterministic
+    sample — the production-shaped replacement for the anchor-point
+    quantizer (returns [cid][dim] centroid rows, L2-normalized).
+
+    Deterministic end to end: the sample is the `sample_cap` rows with
+    the smallest xxhash64(vec_id, seed) (a TakeOrderedAndProject, no full
+    sort — at 100 TB this is one pruned scan); init is farthest-point
+    (k-means++ without RNG) from the sample vector of minimum hash;
+    Lloyd assignment breaks ties toward the lowest centroid id; empty
+    clusters keep their previous centroid. The trained centroids are a
+    tiny driver-side constant (K x dim doubles) broadcast into the
+    assignment join, exactly like Faiss IVF's coarse quantizer."""
+    import numpy as np
+
+    sample = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64("vec_id", F.lit(seed)), F.col("vec_id"))
+        .limit(int(sample_cap))
+        .collect()
+    )
+    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]
+    k = min(n_centroids, len(X))
+    # farthest-point init: greedy max-min cosine distance, start at row 0
+    # (the min-hash sample row) — deterministic, spread-out seeds
+    cent_idx = [0]
+    sim_to_nearest = X @ X[0]
+    for _ in range(1, k):
+        nxt = int(np.argmin(sim_to_nearest))
+        cent_idx.append(nxt)
+        sim_to_nearest = np.maximum(sim_to_nearest, X @ X[nxt])
+    C = X[cent_idx].copy()
+    for _ in range(iters):
+        sims = X @ C.T  # cosine == dot on the unit sphere
+        assign = np.argmax(sims, axis=1)  # np.argmax: first (lowest) index wins ties
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[j] = m / n
+    return [[float(x) for x in row] for row in C]
+
+
+def _centroid_frame(emb: DataFrame, n_centroids: int, centroids: list[list[float]] | None):
+    """(cid, cv, cn) frame: trained centroids as literals if given, else
+    the anchor-point quantizer (centroid j = embedding j)."""
+    if centroids is not None:
+        spark = emb.sparkSession
+        rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+        cents = spark.createDataFrame(rows, "cid int, cv array<double>")
+        return cents.withColumn("cn", _norm(F.col("cv")))
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("norm", _norm(F.col("v")))
+    return base.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+
+
+def ivf_cells(
+    emb: DataFrame, n_centroids: int = 16, centroids: list[list[float]] | None = None
+) -> DataFrame:
+    """(vec_id, cell) — IVF coarse quantizer: cell = argmax cosine over
+    centroids, ties -> lowest centroid id. Centroids are either trained
+    (pass `centroids` from train_ivf_centroids) or the deterministic
+    anchor points (centroid j = embedding j, no training state).
 
     Scale shape: assignment is O(N x K) with K ~ sqrt(N) centroids
     broadcast to every executor; the inverted lists are then the
     partition/bucket key for the probe-side join (same shape Faiss IVF
-    uses, minus the trained quantizer)."""
+    uses)."""
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("norm", _norm(F.col("v")))
-    cents = base.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
-    )
+    cents = _centroid_frame(emb, n_centroids, centroids)
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cid",
@@ -183,18 +253,19 @@ def ann_topk_ivf(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 8,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: each query probes its n_probe nearest
     centroids' inverted lists; candidates are exactly re-ranked by
-    cosine. Deterministic end to end; full DuckDB oracle."""
+    cosine. Deterministic end to end; full DuckDB oracle. Pass trained
+    `centroids` (train_ivf_centroids) for the production quantizer; the
+    default anchor quantizer needs no training state."""
     qids = [int(x) for x in query_ids]
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("norm", _norm(F.col("v")))
-    cents = base.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
-    )
-    assign = ivf_cells(emb, n_centroids)
+    cents = _centroid_frame(emb, n_centroids, centroids)
+    assign = ivf_cells(emb, n_centroids, centroids)
     qbase = base.where(F.col("vec_id").isin(qids))
     qcent = qbase.crossJoin(F.broadcast(cents)).select(
         F.col("vec_id").alias("query_id"),

@@ -138,10 +138,17 @@ def personalized_pagerank(
         .distinct()
     )
     verts = E.select(F.col("src").alias("id")).union(E.select(F.col("dst").alias("id"))).distinct()
-    S = sources.select(F.col("id").cast("long")).distinct()
+    # restrict S to vertices of the graph BEFORE counting: a source with
+    # no incident edges would otherwise make sum(p) < 1 and leak restart
+    # mass (vp below only assigns p(v) over the edge-derived vertex set)
+    S = (
+        sources.select(F.col("id").cast("long"))
+        .distinct()
+        .join(verts, "id", "left_semi")
+    )
     n_src = S.count()
     if n_src == 0:
-        raise ValueError("personalized_pagerank: empty source set")
+        raise ValueError("personalized_pagerank: no sources present in the graph")
     # p(v) folded into the vertex frame once
     vp = verts.join(S.withColumn("in_s", F.lit(1)), "id", "left").select(
         "id", (F.coalesce(F.col("in_s"), F.lit(0)) / F.lit(float(n_src))).alias("p")

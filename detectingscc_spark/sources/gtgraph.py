@@ -57,15 +57,34 @@ def write_metis_partition(parts: DataFrame, path: str, n_verts: int | None = Non
     to the driver by design. The SCALE path is the native one: partition
     labels live as a `part` column in the vertex parquet (see ingest.py),
     which is what every operator here consumes.
+
+    The format is strictly 1-indexed and dense: a 0-based id frame (e.g.
+    minted engine vertices) or a sparse id space cannot round-trip, so
+    both are rejected loudly instead of silently fabricating label 0
+    lines for ids the frame never contained.
     """
     rows = parts.select(
         F.col("id").cast("long").alias("id"), F.col("part").cast("int").alias("part")
     ).collect()
     labels = {int(r["id"]): int(r["part"]) for r in rows}
+    if labels and min(labels) < 1:
+        raise ValueError(
+            "write_metis_partition: METIS .part files are 1-indexed but the "
+            f"frame contains id {min(labels)}; shift 0-based engine ids by +1 "
+            "before writing"
+        )
     n = n_verts if n_verts is not None else (max(labels) if labels else 0)
+    missing = [i for i in range(1, n + 1) if i not in labels]
+    if missing:
+        raise ValueError(
+            f"write_metis_partition: no label for vertex id(s) {missing[:5]}"
+            f"{'...' if len(missing) > 5 else ''} of 1..{n}; the format has no "
+            "notion of a missing vertex — provide a dense labeling or pass the "
+            "correct n_verts"
+        )
     with open(path, "w") as f:
         for i in range(1, n + 1):
-            f.write(f"{labels.get(i, 0)}\n")
+            f.write(f"{labels[i]}\n")
 
 
 def read_metis_partition(spark: SparkSession, path: str) -> DataFrame:

@@ -84,7 +84,13 @@ def sessionize_stream(
 
     Emits (user_id, session_seq, n_events, session_start); session_seq is
     the 1-based per-user session counter, identical to the batch query's
-    running sum of session starts.
+    running sum of session starts. The counter SURVIVES a timeout flush:
+    instead of state.remove(), the timed-out group keeps a closed marker
+    (n=0, next seq) with no timeout set, so a user who returns after a
+    flush continues numbering where the batch query would (tested across
+    four checkpointed drains in test_streaming.py). The marker is one
+    4-long row per ever-seen user — bounded by the user universe, the
+    price of exact batch-parity numbering.
     """
     import numpy as np
     import pandas as pd
@@ -99,7 +105,8 @@ def sessionize_stream(
                 ts_us.append(pdf["ts_ltz"].values.astype("datetime64[us]").astype("int64"))
         if state.hasTimedOut:
             start_us, last_us, n, seq = state.get
-            state.remove()
+            # keep the per-user counter: closed marker (n=0), no timeout
+            state.update((0, int(last_us), 0, int(seq) + 1))
             yield pd.DataFrame(
                 {"user_id": [user_id], "session_seq": [seq], "n_events": [n],
                  "session_start": [pd.Timestamp(start_us, unit="us")]}
@@ -108,11 +115,18 @@ def sessionize_stream(
         ts = np.sort(np.concatenate(ts_us)) if ts_us else np.empty(0, "int64")
         if ts.size == 0:
             return
+        fresh = not state.exists
         if state.exists:
-            start_us, last_us, n, seq = state.get  # open session, n >= 1
-        else:
+            start_us, last_us, n, seq = state.get
+            if n == 0:  # closed marker left by a timeout flush: resume numbering
+                fresh = True
+        if fresh:
             t0 = int(ts[0])
-            start_us, last_us, n, seq = t0, t0, 1, 1
+            if state.exists:
+                seq = state.get[3]  # continue after the flushed session
+            else:
+                seq = 1
+            start_us, last_us, n = t0, t0, 1
             ts = ts[1:]
         out_rows = {"user_id": [], "session_seq": [], "n_events": [], "session_start": []}
         for t in ts.tolist():
@@ -166,14 +180,22 @@ def dedup_stream(
     )
 
 
-def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
-    """Drain all available input into an in-memory table; returns query."""
-    q = (
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete", checkpoint_dir: str | None = None
+):
+    """Drain all available input into an in-memory table; returns query.
+
+    With `checkpoint_dir`, source offsets and operator state persist, so
+    repeated drains against the same checkpoint resume incrementally —
+    the test-harness analogue of a production restart."""
+    w = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
     q.awaitTermination()
     return q

@@ -119,3 +119,27 @@ def test_bfs_distances_vs_python(spark, g128):
     sdf = spark.createDataFrame([(i,) for i in sources], "id long")
     got = {r["id"]: r["dist"] for r in bfs_distances(spark, edges, sdf).collect()}
     assert got == bfs_dist(erows, sources)
+
+
+def test_ppr_isolated_source_no_mass_leak(spark, g128):
+    """A source id with no incident edges must not dilute the restart
+    distribution: S is semi-joined to the graph's vertex set before
+    normalizing p(v), so sum(rank) == 1 every step even when callers pass
+    ids outside the graph."""
+    from pyspark.sql import functions as F
+
+    from detectingscc_spark.operators.pagerank import personalized_pagerank
+
+    edges, _, _ = g128
+    sdf = spark.createDataFrame([(1,), (2,), (999999,)], "id long")  # 999999 isolated
+    got = personalized_pagerank(spark, edges, sdf, fixed_iters=5)
+    total = got.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9, total
+    # and matches the same run with only the in-graph sources
+    clean = personalized_pagerank(
+        spark, edges, spark.createDataFrame([(1,), (2,)], "id long"), fixed_iters=5
+    )
+    a = {r["id"]: r["rank"] for r in got.collect()}
+    b = {r["id"]: r["rank"] for r in clean.collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)

@@ -72,3 +72,20 @@ def test_metis_sink_roundtrip(spark, tmp_path):
     with open(out) as f:
         ours = [int(x) for x in f.read().split()]
     assert orig == ours
+
+
+def test_metis_sink_rejects_zero_based_and_sparse_ids(spark, tmp_path):
+    """The .part format is 1-indexed and dense; a 0-based engine id frame
+    or a gap in the id space must fail loudly, never silently drop id 0 or
+    fabricate label 0 for missing vertices."""
+    import pytest
+
+    from detectingscc_spark.sources.gtgraph import write_metis_partition
+
+    zero_based = spark.createDataFrame([(0, 1), (1, 2)], "id long, part int")
+    with pytest.raises(ValueError, match="1-indexed"):
+        write_metis_partition(zero_based, str(tmp_path / "z.part"))
+
+    sparse = spark.createDataFrame([(1, 1), (3, 2)], "id long, part int")
+    with pytest.raises(ValueError, match="no label"):
+        write_metis_partition(sparse, str(tmp_path / "s.part"))

@@ -81,7 +81,7 @@ def _simhash_py(text: str) -> str:
     import hashlib
     import re
 
-    toks = [t for t in re.split(r"\s+", text) if t]
+    toks = [t for t in re.split("[ \t\r\n\x0b\f]+", text) if t]
     if not toks:
         return "0" * 16
     n = len(toks)
@@ -197,8 +197,9 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample(media, every_n=4)
     vids = media.where(F.col("kind") == "video").count()
     assert frames.select("media_id").distinct().count() == vids
-    with pytest.raises(NotImplementedError):
-        extract_features(media, fake=False)
+    # sha256 payloads are not a container format the real decoders accept
+    with pytest.raises(Exception, match="unsupported media container"):
+        extract_features(media, fake=False).collect()
 
 
 def test_token_counts_vs_python_re(spark, docs):
@@ -228,3 +229,120 @@ def test_token_counts_vs_python_re(spark, docs):
     for i, text in cases:
         assert got2[i] == len(pat.findall(text)), (i, text)
     assert got2[1] == 6
+
+
+def test_simhash_whitespace_class_engine_parity(spark):
+    """The tokenizer splits on an EXPLICIT whitespace class, so Java regex
+    (Spark) and RE2 (the DuckDB oracle) agree even on edge whitespace like
+    vertical tab \\x0b — \\s class membership differs between the two
+    engines, which would silently diverge a persisted dedup key."""
+    import duckdb
+
+    texts = [
+        "alpha\x0bbeta gamma",       # vertical tab: Java \s yes, RE2 \s no
+        "one\ftwo\r\nthree\tfour",   # form feed + CRLF + tab
+        " leading and trailing ",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+
+    import __spark_entry__ as se
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") AS t(doc_id, text)",
+        texts,
+    )
+    exp = dict(con.execute(se.SIMHASH_SQL).fetchall())
+    assert got == exp
+    # and the vertical-tab doc actually split (3 tokens, not 2): its hash
+    # must differ from the unsplit variant
+    one_tok = spark.createDataFrame([(9, "alpha\x0bbeta")], "doc_id long, text string")
+    assert simhash(one_tok).collect()[0]["simhash"] != _simhash_py("alphabeta")
+
+
+def test_ann_ivf_trained_quantizer(spark, emb):
+    """Trained spherical-k-means quantizer: deterministic across calls
+    (seeded sample, farthest-point init, first-index tie-breaks) and
+    recall >= 0.8 at n_probe=8 — the production-shaped IVF bar, raised
+    from the anchor quantizer's 0.5 floor."""
+    from detectingscc_spark.functions.similarity import train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, n_centroids=16, iters=5)
+    assert cents == train_ivf_centroids(emb, n_centroids=16, iters=5)
+    assert len(cents) == 16 and all(len(c) == len(cents[0]) for c in cents)
+    # centroids live on the unit sphere
+    for c in cents:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+    qids = list(range(10))
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, qids, k=5).collect()}
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_topk_ivf(emb, qids, k=5, n_probe=8, centroids=cents).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_real_decoders_byte_exact(spark):
+    """fake=False path: REAL pure-stdlib decoders. PPM and WAV fixtures
+    are built byte-for-byte by the module's own encoders; expected
+    features are computed independently here (closed-form on the planted
+    pixel/sample patterns), so the whole Arrow mapInPandas decode path is
+    checked end to end without any codec library."""
+    import math
+
+    from detectingscc_spark.functions.multimodal import encode_ppm, encode_wav, extract_features
+
+    # 2x2 image: pixels R=(255,0,0), G=(0,255,0), B=(0,0,255), W=(255,255,255)
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    ppm = encode_ppm(2, 2, px)
+    # 4-sample WAV: a planted square wave at 8 kHz
+    wav = encode_wav([16384, -16384, 16384, -16384], sample_rate=8000)
+    media = spark.createDataFrame(
+        [(1, "image", ppm), (2, "audio", wav)], "media_id long, kind string, payload binary"
+    )
+    got = {r["media_id"]: r["feature"] for r in extract_features(media, dim=16, fake=False).collect()}
+
+    img = got[1]
+    assert img[:3] == [2.0, 2.0, 255.0]  # width, height, maxval
+    assert abs(img[3] - 0.5) < 1e-9  # mean R: (1+0+0+1)/4
+    assert abs(img[4] - 0.5) < 1e-9  # mean G
+    assert abs(img[5] - 0.5) < 1e-9  # mean B
+    assert img[9] == 0.0 and img[10] == 1.0  # global min/max
+    assert img[15] == 0.0  # zero padding beyond the 13 defined features
+
+    au = got[2]
+    assert au[:3] == [1.0, 8000.0, 4.0]  # channels, rate, n_samples
+    assert abs(au[3] - 0.0) < 1e-9  # mean of the symmetric square wave
+    assert abs(au[4] - 16384.0 / 32768.0) < 1e-9  # rms
+    assert abs(au[5] - 1.0) < 1e-9  # every adjacent pair crosses zero
+    assert abs(au[6] + 0.5) < 1e-9 and abs(au[7] - 0.5) < 1e-9  # min/max
+
+
+def test_ppm_decoder_handles_comments_and_wav_skips_unknown_chunks(spark):
+    """Spec edge cases a naive parser misses: PPM `#` header comments and
+    RIFF chunks other than fmt/data (e.g. LIST metadata)."""
+    import struct
+
+    import numpy as np
+
+    from detectingscc_spark.functions.multimodal import _decode_ppm, _decode_wav, encode_wav
+
+    ppm = b"P6\n# a comment line\n2 1\n# another\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    f = _decode_ppm(ppm, 16)
+    assert f[0] == 2.0 and f[1] == 1.0
+    assert abs(f[3] - (10 + 40) / 2 / 255.0) < 1e-12  # mean R
+
+    wav = encode_wav([100, -100], sample_rate=44100)
+    # splice a LIST chunk between fmt and data
+    fmt_end = wav.index(b"data")
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = wav[:fmt_end] + junk + wav[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    g = _decode_wav(spliced, 16)
+    assert g[1] == 44100.0 and g[2] == 2.0

@@ -119,3 +119,111 @@ def test_stream_dedup_exact(spark, tmp_path):
         r["sha"] for r in base.select(F.sha2("content", 256).alias("sha")).distinct().collect()
     }
     assert set(shas) == batch_shas
+
+
+def test_sessionize_seq_survives_timeout_flush(spark, tmp_path):
+    """A user whose open session is flushed by the event-time timeout and
+    who later returns must CONTINUE session numbering (seq 2, 3, ...),
+    not restart at 1 — exact parity with the batch query's running-sum
+    numbering. Drives four checkpointed availableNow drains so the flush
+    happens on the timeout path (no data for the user in that batch),
+    which a single drain cannot exercise."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "sess_seq_in"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "sess_seq_ckpt")
+    t0 = 1700000000  # epoch seconds
+
+    def write_batch(idx, rows):
+        # rows: list of (user_id, offset_seconds)
+        df = spark.createDataFrame(
+            [(i, pd.Timestamp(t0 + off, unit="s").to_pydatetime(), uid, "click", 1.0, "{}")
+             for i, (uid, off) in enumerate(rows)],
+            schema="event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        )
+        df.coalesce(1).write.parquet(str(src_dir / f"b{idx}"))
+
+    out_dir = str(tmp_path / "sess_seq_out")
+
+    def drain(name):
+        # memory sink cannot recover from a checkpoint; the parquet sink
+        # is the fault-tolerant path and is what production would use
+        sess = sessionize_stream(stream_events(spark, str(src_dir) + "/*"))
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: user 42 two events 5 min apart; user 7 keeps the clock moving
+    write_batch(1, [(42, 0), (42, 300), (7, 0)])
+    drain("sess_seq_t1")
+    # batch 2: only user 7, 10h later -> watermark passes user 42's
+    # timeout (last_event + 30min); 42's open session flushes on the
+    # TIMEOUT path (no data for 42 in this batch)
+    write_batch(2, [(7, 36000)])
+    drain("sess_seq_t2")
+    # batch 3: user 42 returns 20h in -> must open session seq=2
+    write_batch(3, [(42, 72000), (42, 72060)])
+    drain("sess_seq_t3")
+    # batch 4: user 7 at 30h advances the watermark so 42's second
+    # session also flushes via timeout
+    write_batch(4, [(7, 108000)])
+    drain("sess_seq_t4")
+
+    collected = spark.read.parquet(out_dir).collect()
+    got42 = sorted(
+        (r["session_seq"], r["n_events"]) for r in collected if r["user_id"] == 42
+    )
+    assert got42 == [(1, 2), (2, 2)], got42
+
+
+def test_stream_ingest_then_scc_matches_batch(spark, tmp_path):
+    """End-to-end incremental graph build: a 2-drop corpus stream feeds
+    edge extraction; SCC on the accumulated edge snapshot equals the
+    batch run over the union corpus — the streaming-ingest ->
+    snapshot-algorithm contract."""
+    from detectingscc_spark.operators.scc import strongly_connected_components
+
+    full = generate_corpus(spark, 160).persist()
+    full.count()
+    cdir = tmp_path / "corpus_stream"
+    cdir.mkdir()
+    out_dir = str(tmp_path / "edges_out")
+    ckpt = str(tmp_path / "ingest_ckpt")
+    schema = "fid long, repo string, path string, commit string, lang string, content string"
+
+    def drop_and_drain(part):
+        part.coalesce(1).write.mode("append").parquet(str(cdir))
+        q = (
+            stream_corpus_edges(spark, str(cdir), schema)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drop_and_drain(full.where(F.col("fid") < 80))
+    drop_and_drain(full.where(F.col("fid") >= 80))
+
+    snap_edges = spark.read.parquet(out_dir)
+    verts = full.select(F.col("fid").alias("id"))
+    got = {
+        (r["id"], r["scc_id"])
+        for r in strongly_connected_components(spark, snap_edges, verts).collect()
+    }
+    batch_edges = extract_import_edges(full).select("src", "dst")
+    exp = {
+        (r["id"], r["scc_id"])
+        for r in strongly_connected_components(spark, batch_edges, verts).collect()
+    }
+    assert got == exp
