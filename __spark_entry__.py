@@ -390,6 +390,85 @@ def q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+def q_quality_filter(spark, sf_dir):
+    """Training-corpus quality gate composed from text_stats: the
+    keep/drop decision a curation pipeline persists per document."""
+    from detectingscc_spark.functions.text import text_stats
+
+    st = text_stats(_docs(spark, sf_dir))
+    keep = (
+        (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 10)
+        & (F.col("avg_token_len") >= 2.0)
+        & (F.col("avg_token_len") <= 20.0)
+    )
+    return st.select("doc_id", keep.alias("keep"))
+
+
+def q_lang_histogram(spark, sf_dir):
+    """Corpus composition by guessed language — one hash agg."""
+    from detectingscc_spark.functions.text import lang_guess
+
+    return lang_guess(_docs(spark, sf_dir)).groupBy("lang_guess").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_ngram_topk(spark, sf_dir):
+    """Top-20 word trigrams across the corpus (deterministic tie-break:
+    count desc, gram asc) — the n-gram frequency pass of a contamination
+    / boilerplate scan. Explode + hash agg + top-k: at 100 TB the agg is
+    map-side partial and the final top-k is a single reduced
+    TakeOrdered, no global sort."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2),"
+            " i -> concat(element_at(split(text, ' '), i), ' ',"
+            " element_at(split(text, ' '), i + 1), ' ',"
+            " element_at(split(text, ' '), i + 2)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        _docs(spark, sf_dir)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("gram").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("gram", "n", "rank")
+    )
+
+
+def q_dedup_sweep(spark, sf_dir):
+    """End-to-end dedup keep-list: exact sha256 dedup THEN MinHash-LSH
+    near-dup removal (the drop-doc_b rule — every candidate pair's higher
+    id is dropped, deterministic without union-find). Emits the decision
+    a curation pipeline writes back: (doc_id, keep, reason)."""
+    from detectingscc_spark.functions.dedup import exact_dedup, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    ex = exact_dedup(docs).select("doc_id", F.col("keep").alias("exact_keep"))
+    near_b = minhash_lsh_pairs(docs).select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        ex.join(near_b.withColumn("near_dup", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("exact_keep") & F.coalesce(~F.col("near_dup"), F.lit(True))).alias("keep"),
+            F.when(~F.col("exact_keep"), F.lit("exact_dup"))
+            .when(F.coalesce(F.col("near_dup"), F.lit(False)), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("reason"),
+        )
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     from detectingscc_spark.functions.similarity import brute_force_topk
 
@@ -501,6 +580,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "quality_filter": q_quality_filter,
+        "lang_histogram": q_lang_histogram,
+        "ngram_topk": q_ngram_topk,
+        "dedup_sweep": q_dedup_sweep,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
     }
@@ -727,6 +810,46 @@ cand AS (
 """
 
 MINHASH_PAIRS_SQL = f"WITH {_MINHASH_BANDS} SELECT doc_a, doc_b FROM cand"
+
+QUALITY_FILTER_SQL = f"""
+WITH st AS ({TEXT_STATS_SQL})
+SELECT doc_id,
+       (quality >= 0.5 AND n_tokens >= 10
+        AND avg_token_len >= 2.0 AND avg_token_len <= 20.0) AS keep
+FROM st
+"""
+
+LANG_HISTOGRAM_SQL = f"""
+WITH lg AS ({LANG_GUESS_SQL})
+SELECT lang_guess, count(*)::BIGINT AS n FROM lg GROUP BY lang_guess
+"""
+
+NGRAM_TOPK_SQL = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+counted AS (SELECT gram, count(*)::BIGINT AS n FROM grams GROUP BY gram),
+ranked AS (
+  SELECT gram, n, row_number() OVER (ORDER BY n DESC, gram ASC) AS rank FROM counted
+)
+SELECT gram, n, rank FROM ranked WHERE rank <= 20
+"""
+
+DEDUP_SWEEP_SQL = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS content_sha FROM documents),
+k AS (SELECT content_sha, min(doc_id) AS keeper FROM h GROUP BY content_sha),
+ex AS (SELECT h.doc_id, h.doc_id = k.keeper AS exact_keep FROM h JOIN k USING (content_sha)),
+{_MINHASH_BANDS},
+nb AS (SELECT DISTINCT doc_b AS doc_id FROM cand)
+SELECT ex.doc_id,
+       (exact_keep AND nb.doc_id IS NULL) AS keep,
+       CASE WHEN NOT exact_keep THEN 'exact_dup'
+            WHEN nb.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS reason
+FROM ex LEFT JOIN nb ON ex.doc_id = nb.doc_id
+"""
 
 NEAR_DUP_JACCARD_SQL = f"""
 WITH {_MINHASH_BANDS},
@@ -1207,4 +1330,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": ANN_LSH_SQL,
         "ann_ivf": ANN_IVF_SQL,
         "ann_ivf_trained": ANN_IVF_TRAINED_SQL,
+        "quality_filter": QUALITY_FILTER_SQL,
+        "lang_histogram": LANG_HISTOGRAM_SQL,
+        "ngram_topk": NGRAM_TOPK_SQL,
+        "dedup_sweep": DEDUP_SWEEP_SQL,
     }

@@ -233,7 +233,11 @@ def strongly_connected_components(
     trim_iters: int = 4,
     expand: str = "join",
     bfs_unroll: int = 1,
-    hub_degree_threshold: int = 1_000_000,
+    # 5M, not lower: a measured 4M-vertex run with a planted 3M-degree hub
+    # showed AQE skew-join splitting alone at data-scaling parity while
+    # per-hub salting cost 1.5x end to end (BASELINE.md round-3 skew
+    # table) — salting engages only past the regime AQE covers
+    hub_degree_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Compute SCCs of a directed graph given as edges(src, dst).
 
@@ -457,8 +461,10 @@ def _bfs_join(runner, re_f, re_cnt, state, max_bfs_hops, unroll=1,
     so both directions expand in ONE join per hop — half the Spark jobs
     of the previous two-thread design and no executor pool (the fix for
     the superstep fixed-cost scaling bottleneck). `unroll` hops run
-    inside one job via join+distinct+anti-vis chains; the union of levels
-    is materialized once per window.
+    inside one job via join+distinct+anti-vis chains; the union of
+    levels, tagged with their window offset, is materialized once per
+    window (one driver action per k hops), and only the LAST level
+    becomes the next frontier — no re-expansion of inner levels.
 
     Skew (north_star "skew-aware salting of hub vertices"): while the
     frontier is broadcast-able the join is a map-side hash join and hubs
@@ -520,7 +526,7 @@ def _bfs_join(runner, re_f, re_cnt, state, max_bfs_hops, unroll=1,
                     truncate=False, count=False, detach=False,
                 )
         level = front
-        acc = None
+        win_levels = []
         for _ in range(unroll):
             runner.bump("FWD_iterations")
             runner.bump("BWD_iterations")
@@ -537,7 +543,8 @@ def _bfs_join(runner, re_f, re_cnt, state, max_bfs_hops, unroll=1,
                 )
             else:
                 # big frontier, no extreme hubs: plain shuffle join; AQE
-                # skew-join splitting covers moderate imbalance
+                # skew-join splitting covers moderate imbalance (and, per
+                # the BASELINE.md skew head-to-head, a 3M-degree hub too)
                 joined = ed.join(lf, ["dir", "u"])
             vis_b = F.broadcast(vis) if vis_cnt <= ANTI_BROADCAST_ROW_LIMIT else vis
             level = (
@@ -545,11 +552,39 @@ def _bfs_join(runner, re_f, re_cnt, state, max_bfs_hops, unroll=1,
                 .distinct()
                 .join(vis_b, ["dir", "id"], "left_anti")
             )
-            acc = level if acc is None else acc.unionByName(level)
-        # acc = every vertex discovered in this window (they all enter vis;
-        # all but the last level were already expanded, re-expanding them
-        # next window is bounded waste and keeps the loop simple+correct)
-        new, n_cnt = runner.tick(f"bfs_new_{hops}", acc.distinct(), detach=False)
+            # in-window dedup: short cycles can rediscover a vertex from
+            # an earlier (not yet visited-merged) window level
+            for prev in win_levels:
+                level = level.join(prev, ["dir", "id"], "left_anti")
+            win_levels.append(level)
+        # ONE materialization per window: levels union tagged with their
+        # window offset `w`; the last level (w = unroll-1) is the next
+        # frontier, the whole frame joins the visited set. Both counts
+        # ride the same job as observed metrics, so a window of k hops
+        # costs ONE driver action (the round-2 unroll re-expanded every
+        # level next window — measured SLOWER at 1M; tags fix that).
+        acc = None
+        for w, lv in enumerate(win_levels):
+            tagged = lv.withColumn("w", F.lit(w))
+            acc = tagged if acc is None else acc.unionByName(tagged)
+        if unroll == 1:
+            new, n_cnt = runner.tick(f"bfs_new_{hops}", acc.drop("w"), detach=False)
+            last_cnt, front_next = n_cnt, new
+        else:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            acc = acc.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_total"),
+                F.sum(F.when(F.col("w") == unroll - 1, 1).otherwise(0)).alias("n_last"),
+            )
+            new_tagged, _ = runner.tick(f"bfs_new_{hops}", acc, count=False, detach=False)
+            m = obs.get
+            n_cnt = int(m["n_total"] or 0)
+            last_cnt = int(m["n_last"] or 0)
+            new = new_tagged.drop("w")
+            front_next = new_tagged.where(F.col("w") == unroll - 1).drop("w")
         if n_cnt:
             frag_slots.append(f"bfs_new_{hops}")
             vis = vis.unionByName(new)
@@ -563,7 +598,7 @@ def _bfs_join(runner, re_f, re_cnt, state, max_bfs_hops, unroll=1,
                 frag_slots = frag_slots[-1:]
         else:
             runner.release(f"bfs_new_{hops}")
-        front, cnt = new, n_cnt
+        front, cnt = front_next, last_cnt
     final = _assemble_state(
         runner, state,
         vis.where("dir = 0").select("id"),

@@ -143,3 +143,14 @@ def test_scc_sample2_giant(spark):
     got, expect, v = _run_scc(spark, "sample2.gr", local_finish_edges=50_000)
     assert got == expect
     assert len(set(got.values())) == 4889
+
+
+@pytest.mark.parametrize("name,unroll", [("sample5.gr", 2), ("sample128.gr", 2), ("sample128.gr", 4)])
+def test_scc_bfs_unroll_windows(spark, name, unroll):
+    """Windowed BFS (k hops per driver action, tagged levels, last level
+    = next frontier) must agree with the oracle; sample128 has depth > 4
+    so windows genuinely chain, and its cycles exercise the in-window
+    dedup anti-joins."""
+    got, expect, _ = _run_scc(spark, name, bfs_unroll=unroll)
+    assert got == expect
+    assert len(set(got.values())) == GOLDEN[name]

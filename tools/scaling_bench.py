@@ -5,7 +5,8 @@ same SCC job runs on the same input at two parallelism levels —
 local[8] and local[32] — in separate JVMs (fresh spark-submit-equivalent
 subprocesses). Efficiency = (throughput@32 / throughput@8) / 4.
 
-Writes tools/scaling_result.json and appends a row to BASELINE.md.
+Writes tools/scaling_result.json and appends a row to tools/scaling_history.md
+(summary curated in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -28,6 +29,8 @@ from detectingscc_spark.operators.scc import strongly_connected_components
 
 cpus = os.environ["SPARK_GRAFT_CPUS"]
 n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "100000"))
+expand = os.environ.get("SPARK_GRAFT_EXPAND", "join")
+unroll = int(os.environ.get("SPARK_GRAFT_UNROLL", "1"))
 spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=int(cpus))
 corpus = generate_corpus(spark, n_files).persist(); corpus.count()
@@ -37,10 +40,12 @@ t0 = time.time()
 # local_finish_edges=0: fully distributed — the scaling criterion must not
 # include a serial driver-side Tarjan tail (identical at both levels)
 n = strongly_connected_components(spark, edges, verts.select("id"),
-                                  local_finish_edges=0).count()
+                                  local_finish_edges=0, expand=expand,
+                                  bfs_unroll=unroll).count()
 dt = time.time() - t0
 assert n == n_files
-print(json.dumps({"cpus": int(cpus), "wall_sec": dt,
+print(json.dumps({"cpus": int(cpus), "wall_sec": dt, "expand": expand,
+                  "unroll": unroll,
                   "edges": n_edges, "edges_per_sec": n_edges / dt}))
 """
 
@@ -102,7 +107,7 @@ def main():
         f"({lo['edges_per_sec']:.0f} e/s) | local[32]: {hi['wall_sec']:.1f}s "
         f"({hi['edges_per_sec']:.0f} e/s) | efficiency {eff:.3f} |"
     )
-    with open(os.path.join(REPO, "BASELINE.md"), "a") as f:
+    with open(os.path.join(REPO, "tools", "scaling_history.md"), "a") as f:
         f.write(row + "\n")
     print(json.dumps(result))
 
