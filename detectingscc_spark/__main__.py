@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--no-trim2", action="store_true", help="reference -q off")
     ap.add_argument("--trim-iters", type=int, default=4, help="reference -p depth")
     ap.add_argument("--local-finish-edges", type=int, default=0)
+    ap.add_argument("--bfs-unroll", type=int, default=1,
+                    help="BFS hops per driver action (windowed; 1 is the "
+                    "measured-fastest default, BASELINE.md head-to-head)")
+    ap.add_argument("--hub-degree-threshold", type=int, default=5_000_000,
+                    help="salt hub adjacency above this residual degree; "
+                    "below it AQE skew-join splitting is the measured default")
     ap.add_argument("--n-parts", type=int, default=32)
     ap.add_argument("--master", default=None)
     ap.add_argument(
@@ -82,6 +88,8 @@ def main():
             trim2_enabled=not args.no_trim2, trim_iters=args.trim_iters,
             local_finish_edges=args.local_finish_edges,
             expand="csr" if args.algo == "scc-csr" else "join",
+            bfs_unroll=args.bfs_unroll,
+            hub_degree_threshold=args.hub_degree_threshold,
         )
         n_groups = result.select("scc_id").distinct().count()
     elif args.algo == "scc-coloring":
