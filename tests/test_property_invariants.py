@@ -1,0 +1,108 @@
+"""Property-based invariants (hypothesis) for the persisted dedup/text
+keys — the properties a curation pipeline depends on, checked over
+generated corpora rather than fixtures.
+
+Spark sessions are expensive, so each property generates a BATCH of
+documents with hypothesis and runs ONE Spark job over the batch
+(deadline disabled; examples capped for CI time)."""
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# printable-ish text incl. the whitespace edge cases the tokenizers split on
+_TEXT = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Po"),
+        whitelist_characters=" \t\r\n\x0b\f",
+    ),
+    min_size=0,
+    max_size=120,
+)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(st.lists(_TEXT, min_size=1, max_size=12))
+@_SETTINGS
+def test_simhash_identity_and_python_parity(spark, texts):
+    """Equal text => equal simhash (duplicate planted per doc), and every
+    hash equals the independent pure-python oracle."""
+    from detectingscc_spark.functions.dedup import simhash
+
+    from .test_pipeline_functions import _simhash_py
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(1000 + i, t) for i, t in enumerate(texts)]  # planted dups
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == got[1000 + i]
+        assert got[i] == _simhash_py(t)
+
+
+@given(st.lists(_TEXT, min_size=1, max_size=12))
+@_SETTINGS
+def test_exact_dedup_keeps_one_per_content(spark, texts):
+    """Exactly one keeper per distinct content; the keeper is the min
+    doc_id; content_sha matches hashlib."""
+    from detectingscc_spark.functions.dedup import exact_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = exact_dedup(docs).collect()
+    by_sha = {}
+    for r in res:
+        by_sha.setdefault(r["content_sha"], []).append(r)
+        expect_sha = hashlib.sha256(rows[r["doc_id"]][1].encode()).hexdigest()
+        assert r["content_sha"] == expect_sha
+    for sha, group in by_sha.items():
+        keepers = [r["doc_id"] for r in group if r["keep"]]
+        assert keepers == [min(r["doc_id"] for r in group)]
+
+
+@given(st.lists(_TEXT, min_size=1, max_size=12))
+@_SETTINGS
+def test_bpe_token_count_matches_python_regex(spark, texts):
+    """The BPE-ish token count (explicit char classes, engine-portable)
+    must equal python re over the same pattern."""
+    from detectingscc_spark.functions.text import BPE_TOKEN_RE, token_counts
+
+    pat = re.compile(BPE_TOKEN_RE)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in token_counts(docs).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == len(pat.findall(t)), repr(t)
+
+
+@given(st.lists(st.integers(min_value=-8, max_value=8), min_size=2, max_size=40))
+@_SETTINGS
+def test_pagerank_mass_conservation_random_graphs(spark, deltas):
+    """Sum of pagerank == 1 (1e-9) on arbitrary small digraphs, including
+    dangling vertices and self-loop rows (the engine drops self-loops)."""
+    from hypothesis import assume
+
+    from detectingscc_spark.operators.pagerank import pagerank
+
+    assume(any(d != 0 for d in deltas))  # at least one real (non-loop) edge
+    n = 10
+    erows = []
+    v = 0
+    for d in deltas:
+        u = (v + d) % n
+        erows.append((v, u))
+        v = u
+    edges = spark.createDataFrame(sorted(set(erows)), "src long, dst long")
+    verts = spark.range(n).select(F.col("id"))
+    pr = pagerank(spark, edges, verts, fixed_iters=5)
+    total = pr.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
