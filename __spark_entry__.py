@@ -204,17 +204,27 @@ def q_bfs_dist(spark, sf_dir):
 
 def q_reciprocity(spark, sf_dir):
     """Edge reciprocity of the directed link graph: share of edges whose
-    reverse edge also exists (standard web-graph shape metric)."""
+    reverse edge also exists (standard web-graph shape metric).
+
+    ONE job / ONE edge-table scan pair: the reverse-edge existence test is
+    a marker left join (edges are distinct, so the join cannot multiply
+    rows) and both counters come out of a single aggregation — the round-3
+    form burned two driver actions (semi-join .count() + .count())."""
     e = _edges(spark, sf_dir)
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    n_recip = e.join(rev, ["src", "dst"], "left_semi").count()
-    n_edges = e.count()
-    return spark.createDataFrame(
-        [(n_edges, n_recip)], "n_edges long, n_recip long"
-    ).select(
-        "n_edges",
-        "n_recip",
-        F.round(F.col("n_recip") / F.col("n_edges"), 8).alias("reciprocity"),
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("has_rev")
+    )
+    return (
+        e.join(rev, ["src", "dst"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.coalesce(F.sum("has_rev"), F.lit(0)).cast("long").alias("n_recip"),
+        )
+        .select(
+            "n_edges",
+            "n_recip",
+            F.round(F.col("n_recip") / F.col("n_edges"), 8).alias("reciprocity"),
+        )
     )
 
 
@@ -419,9 +429,10 @@ def q_ngram_topk(spark, sf_dir):
     count desc, gram asc) — the n-gram frequency pass of a contamination
     / boilerplate scan. Explode + hash agg + top-k: at 100 TB the agg is
     map-side partial and the final top-k is a single reduced
-    TakeOrdered, no global sort."""
-    from pyspark.sql.window import Window
-
+    TakeOrderedAndProject (`orderBy().limit(20)`), no global sort — the
+    round-3 row_number()-over-unpartitioned-window form forced every
+    distinct trigram into ONE task; rank is derived from the collected
+    20-row result (bounded constant, not a scale surface)."""
     toks = F.split(F.col("text"), " ")
     grams = F.when(
         F.size(toks) >= 3,
@@ -438,11 +449,10 @@ def q_ngram_topk(spark, sf_dir):
         .groupBy("gram")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("gram").asc())
-    return (
-        counted.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
-        .select("gram", "n", "rank")
+    top = counted.orderBy(F.col("n").desc(), F.col("gram").asc()).limit(20).collect()
+    return spark.createDataFrame(
+        [(r["gram"], r["n"], i + 1) for i, r in enumerate(top)],
+        "gram string, n long, rank int",
     )
 
 
@@ -515,6 +525,52 @@ def q_ann_ivf_trained(spark, sf_dir):
     return ann_topk_ivf(emb, query_ids=[0, 1, 2, 3, 4], k=5, centroids=cents)
 
 
+_ANN_LSH_IDX = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".artifacts", "ann_lsh_index"
+)
+_ANN_IVF_IDX = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".artifacts", "ann_ivf_index"
+)
+
+
+def q_ann_lsh_indexed(spark, sf_dir):
+    """LSH ANN against a PERSISTED index: build the (tbl, bucket)-
+    partitioned parquet index once, then answer the query with a pruned
+    scan of only the probed bucket directories (the write side that
+    similarity.lsh_buckets_multi's docstring promises). Same parameters
+    as q_ann_lsh except n_tables=8 (8 x 256 = 2k index partitions — the
+    20-table fan-out is recall overkill for a persisted index and its
+    5k-directory commit dominates at fixture scale), so the oracle is
+    _ann_lsh_sql(n_tables=8) — equal results from the persisted path IS
+    the check."""
+    from detectingscc_spark.functions.ann_index import (
+        ann_topk_lsh_indexed,
+        write_lsh_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    write_lsh_index(emb, _ANN_LSH_IDX, n_tables=8)
+    return ann_topk_lsh_indexed(
+        spark, _ANN_LSH_IDX, emb, query_ids=[0, 1, 2, 3, 4], k=5, n_tables=8
+    )
+
+
+def q_ann_ivf_indexed(spark, sf_dir):
+    """IVF ANN against PERSISTED inverted lists + centroid table: probe
+    cells are derived from the persisted centroids and pushed as a
+    literal partition predicate, so only the probed cells' directories
+    are read. Same anchor quantizer and parameters as q_ann_ivf → oracle
+    is ANN_IVF_SQL verbatim."""
+    from detectingscc_spark.functions.ann_index import (
+        ann_topk_ivf_indexed,
+        write_ivf_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    write_ivf_index(emb, _ANN_IVF_IDX, n_centroids=16)
+    return ann_topk_ivf_indexed(spark, _ANN_IVF_IDX, emb, query_ids=[0, 1, 2, 3, 4], k=5)
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -580,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_lsh_indexed": q_ann_lsh_indexed,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "quality_filter": q_quality_filter,
         "lang_histogram": q_lang_histogram,
         "ngram_topk": q_ngram_topk,
@@ -1330,6 +1388,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": ANN_LSH_SQL,
         "ann_ivf": ANN_IVF_SQL,
         "ann_ivf_trained": ANN_IVF_TRAINED_SQL,
+        "ann_lsh_indexed": _ann_lsh_sql(n_tables=8),
+        "ann_ivf_indexed": ANN_IVF_SQL,
         "quality_filter": QUALITY_FILTER_SQL,
         "lang_histogram": LANG_HISTOGRAM_SQL,
         "ngram_topk": NGRAM_TOPK_SQL,

@@ -180,8 +180,12 @@ def train_ivf_centroids(
         .collect()
     )
     X = np.array([r["v"] for r in sample], dtype=np.float64)
+    if X.ndim != 2 or X.shape[0] == 0:
+        raise ValueError("train_ivf_centroids: embedding table is empty")
     norms = np.linalg.norm(X, axis=1)
     X = X[norms > 0] / norms[norms > 0, None]
+    if len(X) == 0:
+        raise ValueError("train_ivf_centroids: no nonzero embeddings to train on")
     k = min(n_centroids, len(X))
     # farthest-point init: greedy max-min cosine distance, start at row 0
     # (the min-hash sample row) — deterministic, spread-out seeds

@@ -10,10 +10,11 @@ DuckDB oracle expresses it directly as a recursive CTE with min(dist)
 
 Scale notes: per hop ONE shuffle — the frontier-edge join grouped by
 dst; the settled-distance frame is only probed with a left_anti join
-(new = reached minus settled), never rewritten; frontiers shrink once
-the wavefront passes the graph's bulk. Same plan shape as the SCC
-engine's forward sweep (operators/scc.py::_bfs_join), minus the
-direction tagging.
+(new = reached minus settled), never rewritten. The settled view is a
+compacted base plus at most COMPACT_EVERY materialized per-hop
+fragments (the same discipline as operators/scc.py::_bfs_join) — a
+64-hop run never carries a 64-leaf union in its plan. Frontiers shrink
+once the wavefront passes the graph's bulk.
 """
 
 from __future__ import annotations
@@ -47,11 +48,13 @@ def bfs_distances(
         "dist", F.lit(0).cast("long")
     )
     seed, f_cnt = runner.tick("settled_0", seed)
-    # settled accumulates as materialized fragments (one per hop) — each
-    # hop issues exactly ONE driver action (the `new` tick); the settled
-    # view is a union of already-checkpointed leaves, probed by the
-    # anti-join, never rewritten
-    frags = [seed]
+    # settled view = one compacted base + up to COMPACT_EVERY materialized
+    # per-hop fragments (lazy union) probed by the anti-join; each hop
+    # issues exactly ONE driver action (the `new` tick), plus one
+    # re-checkpoint of the base every COMPACT_EVERY hops so a deep run's
+    # plan never accumulates a hop-count-deep union
+    COMPACT_EVERY = 8
+    frag_slots: list[str] = ["settled_0"]
     settled_view = seed
     front = seed.select("id")
 
@@ -71,8 +74,15 @@ def bfs_distances(
         new, n_cnt = runner.tick(f"settled_{hops}", new)
         if n_cnt == 0:
             break
-        frags.append(new)
+        frag_slots.append(f"settled_{hops}")
         settled_view = settled_view.unionByName(new)
+        if len(frag_slots) >= COMPACT_EVERY:
+            settled_view, _ = runner.tick("settled_base", settled_view, count=False)
+            # newest fragment stays alive: it is the live frontier for the
+            # next hop's join (its blocks must not be dropped)
+            for s in frag_slots[:-1]:
+                runner.release(s)
+            frag_slots = frag_slots[-1:]
         front = new.select("id")
         f_cnt = n_cnt
     result = settled_view.select("id", "dist")

@@ -8,12 +8,14 @@ subgraph is < k; repeat. Each round is a pure integer computation, so a
 fixed-round run is exactly expressible as unrolled SQL CTEs (KCORE_SQL
 in __spark_entry__ mirrors it round by round).
 
-Scale notes: one shuffle per round — the degree groupBy. The edge table
-is filtered by the surviving set with two semi-joins (survivors are a
-shrinking id set, broadcastable once small); lineage is truncated per
-round through the SuperstepRunner; survivors shrink monotonically so
-per-round cost decreases. No driver-side data motion — the fixpoint test
-rides as the tick's observed row count.
+Scale notes: the engine keeps a MATERIALIZED shrinking residual edge set
+— each round filters the previous round's residual (not the full edge
+table) by the new survivor set with two semi-joins (survivors are a
+shrinking id set, broadcastable once small), so per-round scan size
+decreases monotonically instead of re-reading O(E) every peel. Two jobs
+per round (residual checkpoint + degree/survivor tick); lineage is
+truncated per round through the SuperstepRunner. No driver-side data
+motion — the fixpoint test rides as the tick's observed row count.
 """
 
 from __future__ import annotations
@@ -57,17 +59,18 @@ def kcore(
     alive = und.select(F.col("a").alias("id")).union(und.select(F.col("b").alias("id"))).distinct()
     alive, n_alive = runner.tick("alive", alive)
 
+    # resid = the surviving edge set, MATERIALIZED and re-filtered from
+    # itself each round (alive shrinks monotonically, so residual-filtered-
+    # by-new-survivors == full-table-filtered-by-new-survivors); round 1's
+    # residual is `und` itself (every vertex starts alive)
+    resid = und
     n_iters = rounds if rounds is not None else max_rounds
     for i in range(n_iters):
         runner.superstep = i + 1
         runner.bump("iterations")
-        # edges with both endpoints alive; degree = distinct-neighbor count
-        ee = (
-            und.join(alive.withColumnRenamed("id", "a"), "a", "left_semi")
-            .join(alive.withColumnRenamed("id", "b"), "b", "left_semi")
-        )
         deg = (
-            ee.select(F.col("a").alias("id")).union(ee.select(F.col("b").alias("id")))
+            resid.select(F.col("a").alias("id"))
+            .union(resid.select(F.col("b").alias("id")))
             .groupBy("id")
             .agg(F.count("*").alias("deg"))
         )
@@ -80,9 +83,20 @@ def kcore(
             break
         if n_next == 0:
             break
+        if rounds is not None and i + 1 == n_iters:
+            break  # fixed-round run done; skip a residual no one will read
+        # shrink the residual for the next round: both endpoints must have
+        # survived this peel
+        nxt = (
+            resid.join(alive.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("id", "b"), "b", "left_semi")
+        )
+        resid, _ = runner.tick("resid_next", nxt, count=False)
+        runner.promote("resid_next", "resid")
     else:
         if rounds is None:
             raise RuntimeError(f"kcore: no fixpoint within max_rounds={max_rounds}")
     result = alive.select("id")
     runner.release("und")
+    runner.release("resid")
     return result

@@ -142,7 +142,7 @@ def _tarjan_local(edge_rows, vertex_ids):
     return result
 
 
-def _csr_multihop_kernel(block: int, direction_key: str):
+def _csr_multihop_kernel(block: int):
     """Arrow-vectorized block-local multi-hop BFS kernel (the north_star's
     'sparse gather-scatter over per-partition CSR adjacency blocks').
 
@@ -498,9 +498,12 @@ def _bfs_join(runner, re_f, re_cnt, state, max_bfs_hops, unroll=1,
     vis, vis_cnt = front, cnt
     frag_slots: list[str] = []
     hubs, hub_cnt, ed_rest, ed_hub = None, 0, None, None
+    # `hops` counts REAL BFS hops (a window of k unrolled levels advances
+    # it by k), so max_bfs_hops bounds traversal depth and the returned
+    # depth feeds metrics with its documented meaning regardless of unroll
     hops = 0
     while cnt > 0:
-        hops += 1
+        hops += unroll
         if hops > max_bfs_hops:
             raise RuntimeError("BFS exceeded max hops")
         if cnt > BROADCAST_ROW_LIMIT and hubs is None:
@@ -527,11 +530,16 @@ def _bfs_join(runner, re_f, re_cnt, state, max_bfs_hops, unroll=1,
                 )
         level = front
         win_levels = []
-        for _ in range(unroll):
+        for w in range(unroll):
             runner.bump("FWD_iterations")
             runner.bump("BWD_iterations")
             lf = level.withColumnRenamed("id", "u")
-            if cnt <= BROADCAST_ROW_LIMIT:
+            # `cnt` measures the WINDOW-START frontier only; an inner level
+            # (w > 0) has unknown — possibly far larger — size, so only the
+            # first hop of a window may take the forced-broadcast path;
+            # inner hops fall back to a shuffle join (AQE re-plans them to
+            # broadcast at runtime if the materialized side turns out tiny)
+            if w == 0 and cnt <= BROADCAST_ROW_LIMIT:
                 joined = ed.join(F.broadcast(lf), ["dir", "u"])
             elif hub_cnt:
                 lf_hub = (
@@ -626,7 +634,7 @@ def _bfs_csr(runner, spark, re_f, state, max_bfs_hops):
         # toward zero and loses precision past 2^53)
         return F.expr(f"({col} - pmod({col}, {block})) DIV {block}")
 
-    kernel = _csr_multihop_kernel(block, "p")
+    kernel = _csr_multihop_kernel(block)
 
     ef = re_f.select(
         floordiv_block("src").alias("p"),

@@ -87,6 +87,52 @@ def write_metis_partition(parts: DataFrame, path: str, n_verts: int | None = Non
             f.write(f"{labels[i]}\n")
 
 
+def write_metis_graph(edges: DataFrame, path: str, n_verts: int, n_edges: int | None = None) -> None:
+    """edges(src, dst) → METIS adjacency `.graph` file, byte-compatible
+    with the reference's GTgraph→METIS converter
+    (/root/reference/src/MetisInput.cpp:114-131): header `V E`, then one
+    line per vertex i (1-indexed, 1..V) holding its OUT-neighbors in
+    ascending dst order followed by its IN-neighbors in ascending src
+    order, every number followed by a single space. Duplicate edges are
+    kept (the converter keeps them too); an isolated vertex is an empty
+    line.
+
+    Compatibility sink for running the actual METIS partitioner on an
+    engine graph — inherently a single ordered text file, so like
+    write_metis_partition it collects to the driver by design (the scale
+    path is the native `part` vertex column). The neighbor grouping and
+    sorting run Spark-side (sort_array over collect_list); only the
+    final ordered write is driver-side. Strictly 1-indexed: ids < 1 are
+    rejected loudly, matching the .part sink's contract.
+    """
+    e = edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+    outs = e.groupBy(F.col("src").alias("id")).agg(
+        F.sort_array(F.collect_list("dst")).alias("outs")
+    )
+    ins = e.groupBy(F.col("dst").alias("id")).agg(
+        F.sort_array(F.collect_list("src")).alias("ins")
+    )
+    rows = outs.join(ins, "id", "full_outer").select("id", "outs", "ins").collect()
+    adj = {int(r["id"]): (r["outs"] or [], r["ins"] or []) for r in rows}
+    if adj and min(adj) < 1:
+        raise ValueError(
+            "write_metis_graph: METIS .graph files are 1-indexed but the edge "
+            f"frame contains vertex id {min(adj)}; shift 0-based engine ids by "
+            "+1 before writing"
+        )
+    if adj and max(adj) > n_verts:
+        raise ValueError(
+            f"write_metis_graph: edge frame references vertex id {max(adj)} "
+            f"beyond n_verts={n_verts}"
+        )
+    m = n_edges if n_edges is not None else sum(len(o) for o, _ in adj.values())
+    with open(path, "w") as f:
+        f.write(f"{n_verts} {m}\n")
+        for i in range(1, n_verts + 1):
+            o, b = adj.get(i, ([], []))
+            f.write("".join(f"{x} " for x in list(o) + list(b)) + "\n")
+
+
 def read_metis_partition(spark: SparkSession, path: str) -> DataFrame:
     """METIS `.part` file → (id: long, part: int); one label per line,
     vertex ids implicit by line order, 1-indexed (mirrors

@@ -121,6 +121,20 @@ def test_bfs_distances_vs_python(spark, g128):
     assert got == bfs_dist(erows, sources)
 
 
+def test_bfs_deep_path_compacts(spark):
+    """A 60-hop path exercises the settled-fragment compaction (several
+    COMPACT_EVERY=8 cycles): distances must stay exact and the run must
+    not blow up its plan with a hop-count-deep union (the round-3 shape
+    the compaction replaces)."""
+    from detectingscc_spark.operators.bfs import bfs_distances
+
+    v = 61  # path 1 -> 2 -> ... -> 61: 60 hops from the single source
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, v)], "src long, dst long")
+    sdf = spark.createDataFrame([(1,)], "id long")
+    got = {r["id"]: r["dist"] for r in bfs_distances(spark, edges, sdf, max_hops=64).collect()}
+    assert got == {i: i - 1 for i in range(1, v + 1)}
+
+
 def test_ppr_isolated_source_no_mass_leak(spark, g128):
     """A source id with no incident edges must not dilute the restart
     distribution: S is semi-joined to the graph's vertex set before

@@ -74,6 +74,35 @@ def test_metis_sink_roundtrip(spark, tmp_path):
     assert orig == ours
 
 
+def test_metis_graph_sink_byte_stable(spark, tmp_path):
+    """write_metis_graph reproduces the reference's GTgraph→METIS
+    converter output (/root/reference/src/MetisInput.cpp:114-131) BYTE
+    FOR BYTE on the shipped 128-vertex sample: same header, same
+    out-then-in neighbor order, same trailing-space line format."""
+    from detectingscc_spark.sources.gtgraph import write_metis_graph
+
+    path = os.path.join(REF_DATA, "sample128.gr")
+    v, e = gtgraph_meta(spark, path)
+    edges = read_gtgraph(spark, path)
+    out = tmp_path / "MeTiSInput128.graph"
+    write_metis_graph(edges, str(out), n_verts=v, n_edges=e)
+    with open("/root/reference/src/MeTiSInput128.graph", "rb") as f:
+        ref = f.read()
+    with open(out, "rb") as f:
+        ours = f.read()
+    assert ours == ref
+
+
+def test_metis_graph_sink_rejects_zero_based(spark, tmp_path):
+    import pytest
+
+    from detectingscc_spark.sources.gtgraph import write_metis_graph
+
+    zero_based = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="1-indexed"):
+        write_metis_graph(zero_based, str(tmp_path / "z.graph"), n_verts=3)
+
+
 def test_metis_sink_rejects_zero_based_and_sparse_ids(spark, tmp_path):
     """The .part format is 1-indexed and dense; a 0-based engine id frame
     or a gap in the id space must fail loudly, never silently drop id 0 or

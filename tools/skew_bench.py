@@ -3,14 +3,19 @@ import graph with a PLANTED mega-hub, salted vs unsalted.
 
 The graph is the standard 4M-vertex synthetic import graph plus one hub:
 vertex 0 gains out-edges to the first `hub_degree` vertices (3M by
-default — far past the 1M salting threshold and past the 1.5M
-BROADCAST_ROW_LIMIT, so mid-BFS frontiers take the shuffle-join path
-where a single-key adjacency of 3M rows is a real straggler). Two runs
-in fresh pinned JVMs:
+default — past the 1.5M BROADCAST_ROW_LIMIT, so mid-BFS frontiers take
+the shuffle-join path where a single-key adjacency of 3M rows is a real
+straggler). Two runs in fresh pinned JVMs:
 
-  salted:   hub_degree_threshold = 1_000_000 (default; per-hub salting)
-  unsalted: hub_degree_threshold = 10**15    (salting disabled; plain
+  salted:   hub_degree_threshold forced to 1_000_000 (per-hub salting
+            engages for the 3M hub)
+  unsalted: hub_degree_threshold = 10**15 (salting disabled; plain
             shuffle join + AQE skew splitting only)
+
+NOTE on the shipped default: this benchmark's result moved the engine
+default to 5_000_000, so under the SHIPPED default the planted 3M hub
+takes the UNSALTED path — which is exactly what the measurement says it
+should (AQE-only won 402s vs 610s).
 
 Writes tools/skew_result.json and appends a row to tools/scaling_history.md
 (summary curated in BASELINE.md).
