@@ -63,14 +63,26 @@ def main():
 
     # headline = pure-distributed (local_finish_edges=0): no driver-side
     # Tarjan tail, so the number measures the engine, not driver python —
-    # and it is the faster path at this size anyway
+    # and it is the faster path at this size anyway.
+    # Median of SPARK_GRAFT_SCC_TRIALS (default 3) in-JVM runs: this VM
+    # has a documented 1.6-2x per-run swing (BASELINE.md round-4 paired
+    # adjudication), so a single sample whipsaws round-over-round
+    # comparisons; the median is the recorded headline, all trials ride
+    # in extras.
     def do_scc():
         return strongly_connected_components(
             spark, edges, verts.select("id"), local_finish_edges=0
         ).count()
 
-    n = timed("scc", do_scc)
-    assert n == N_FILES, f"scc covered {n}/{N_FILES} vertices"
+    scc_trials = max(1, int(os.environ.get("SPARK_GRAFT_SCC_TRIALS", "3")))
+    walls = []
+    for _ in range(scc_trials):
+        t0 = time.time()
+        n = do_scc()
+        walls.append(round(time.time() - t0, 3))
+        assert n == N_FILES, f"scc covered {n}/{N_FILES} vertices"
+    timings["scc"] = sorted(walls)[len(walls) // 2]
+    extras["scc_trials_sec"] = walls
     extras["scc_edges_per_sec"] = round(n_edges / timings["scc"], 1)
     extras["scc_n_edges"] = n_edges
 

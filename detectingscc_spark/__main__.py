@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--input", required=True, help="edge parquet dir or GTgraph .gr file")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--state-format", default=None,
+                    help="datasource format for durable superstep state "
+                    "(default parquet; 'iceberg' on a cluster with the "
+                    "runtime jar — see plans/superstep.py)")
     ap.add_argument("--no-trim2", action="store_true", help="reference -q off")
     ap.add_argument("--trim-iters", type=int, default=4, help="reference -p depth")
     ap.add_argument("--local-finish-edges", type=int, default=0)
@@ -77,7 +81,8 @@ def main():
         ).encode()
     ).hexdigest()[:16]
     runner = SuperstepRunner(
-        spark, checkpoint_dir=args.checkpoint_dir, run_id=args.algo, fingerprint=fp
+        spark, checkpoint_dir=args.checkpoint_dir, run_id=args.algo, fingerprint=fp,
+        state_format=args.state_format,
     )
     t0 = time.time()
     if args.algo in ("scc", "scc-csr"):

@@ -20,6 +20,16 @@ Here the merge is replaced by ONE contraction, which is exactly the
      contracted graph; final scc_id(v) = scc_id(L(v)), which stays the
      min member id because local labels are themselves min member ids.
 
+Degradation: the local phase assumes a partition-induced subgraph fits
+one Arrow cogroup batch — the same assumption detectSCC makes of a METIS
+part. Unlike the reference (which would abort), a part whose edge or
+vertex count exceeds `max_local_edges` / `max_local_verts` is NOT sent
+to the Tarjan kernel: its vertices keep identity labels (lbl = id, a
+no-op contraction) and the distributed global phase absorbs the whole
+part. Pathological partitionings therefore degrade to global-engine
+throughput instead of OOMing an executor; correctness is unaffected
+because contracting nothing is always valid.
+
 Equivalence with the global engine is tested (tests/test_partitioned.py).
 """
 
@@ -39,6 +49,8 @@ def scc_partitioned(
     *,
     n_parts: int = 32,
     partitions: DataFrame | None = None,
+    max_local_edges: int = 5_000_000,
+    max_local_verts: int = 5_000_000,
     **scc_kwargs,
 ) -> DataFrame:
     """(id, scc_id) with scc_id = min member id; identical to
@@ -46,7 +58,9 @@ def scc_partitioned(
 
     `partitions`: optional (id, part) label table (the METIS analog,
     /root/reference/src/load.cpp:115-130); default hash partitioning
-    id % n_parts.
+    id % n_parts. Parts larger than max_local_edges / max_local_verts
+    bypass the Arrow-batch local phase (identity labels) and are handled
+    entirely by the distributed global phase — see module docstring.
     """
     E = (
         edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
@@ -72,17 +86,43 @@ def scc_partitioned(
         .select(F.col("sp").alias("part"), "src", "dst")
     )
 
+    # graceful degradation: a part too big for one Arrow batch is exempted
+    # from the local phase (identity labels) and left to the global engine.
+    # Two tiny aggs (≤ n_parts rows each) decide; empty on healthy inputs.
+    esz = local_edges.groupBy("part").agg(F.count(F.lit(1)).alias("ne"))
+    vsz = vp.groupBy("part").agg(F.count(F.lit(1)).alias("nv"))
+    oversized = [
+        int(r["part"])
+        for r in esz.join(vsz, "part", "full_outer")
+        .where(
+            (F.coalesce("ne", F.lit(0)) > max_local_edges)
+            | (F.coalesce("nv", F.lit(0)) > max_local_verts)
+        )
+        .select("part")
+        .collect()
+    ]
+
     def local_scc(key, epdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
         ids = vpdf["id"].tolist()
         rows = list(zip(epdf["src"].tolist(), epdf["dst"].tolist())) if len(epdf) else []
         labels = _tarjan_local(rows, ids)
         return pd.DataFrame({"id": ids, "lbl": [labels[v] for v in ids]})
 
+    vp_small, le_small = vp, local_edges
+    if oversized:
+        vp_small = vp.where(~F.col("part").isin(oversized))
+        le_small = local_edges.where(~F.col("part").isin(oversized))
     local = (
-        local_edges.groupBy("part")
-        .cogroup(vp.groupBy("part"))
+        le_small.groupBy("part")
+        .cogroup(vp_small.groupBy("part"))
         .applyInPandas(local_scc, "id long, lbl long")
     )
+    if oversized:
+        # identity labels: contraction maps the part's edges to themselves,
+        # so the global phase sees the part's full subgraph unchanged
+        local = local.unionByName(
+            vp.where(F.col("part").isin(oversized)).select("id", F.col("id").alias("lbl"))
+        )
     local = local.persist()
     local.count()
 

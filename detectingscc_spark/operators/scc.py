@@ -453,7 +453,7 @@ def _part_target(rows: int | None, spark=None, bytes_per_row: int = 24) -> int:
 
 
 def _bfs_join(runner, re_f, re_cnt, state, max_bfs_hops, unroll=1,
-              hub_degree_threshold=1_000_000):
+              hub_degree_threshold=5_000_000):
     """Single-job bidirectional frontier BFS.
 
     FW and BW edges are unioned into ONE frame tagged `dir` (0=fwd edge

@@ -10,12 +10,22 @@ iterative-Spark failure mode). `SuperstepRunner.tick` encapsulates exactly
 that.
 
 Durable checkpoints (north_rule: "resumable from checkpoint with
-per-partition lineage + metrics") write the live state as parquet plus a
-JSON manifest per superstep:
+per-partition lineage + metrics") write the live state through a
+pluggable Spark datasource format (default parquet) plus a JSON manifest
+per superstep:
 
     <dir>/manifest_<step>.json   {run_id, superstep, counters, metrics,
-                                  per-partition row counts (lineage)}
-    <dir>/state_<step>/<name>.parquet
+                                  format, per-partition row counts (lineage)}
+    <dir>/state_<step>/<name>/    datasource files in `state_format`
+
+`state_format` (ctor arg or SPARK_GRAFT_STATE_FORMAT) is passed verbatim
+to `df.write.format(...)` / `spark.read.format(...)`: on a cluster with
+the Iceberg runtime jar on the classpath, `state_format="iceberg"` gives
+the north rule's Iceberg snapshots (path-based HadoopTables); in this
+sandbox the plumbing is proven format-agnostic with ORC
+(tests/test_resume.py::test_resume_orc_state_format). resume() reads
+with the format RECORDED IN THE MANIFEST, so a config change between
+crash and restart cannot misread old state.
 
 `resume()` returns the newest complete checkpoint; the algorithm driver
 re-enters its loop from there and the final output is byte-identical to an
@@ -45,10 +55,16 @@ class SuperstepRunner:
         checkpoint_interval: int = 8,
         collect_lineage: bool = True,
         fingerprint: str | None = None,
+        state_format: str | None = None,
     ):
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
         self.run_id = run_id
+        # datasource format for durable state ("iceberg" on a cluster with
+        # the runtime jar; parquet default — see module docstring)
+        self.state_format = state_format or os.environ.get(
+            "SPARK_GRAFT_STATE_FORMAT", "parquet"
+        )
         # input/param fingerprint: manifests record it and resume() skips
         # checkpoints minted by a different run_id or fingerprint, so
         # rerunning with the same --checkpoint-dir but a different input
@@ -228,11 +244,12 @@ class SuperstepRunner:
         lineage = {}
         for name, df in states.items():
             path = os.path.join(step_dir, name)
-            df.write.mode("overwrite").parquet(path)
+            df.write.mode("overwrite").format(self.state_format).save(path)
             lineage[name] = self._lineage(df)
         manifest = {
             "run_id": self.run_id,
             "fingerprint": self.fingerprint,
+            "format": self.state_format,
             "superstep": self.superstep,
             "counters": dict(self.counters),
             "states": sorted(states),
@@ -266,9 +283,13 @@ class SuperstepRunner:
             if manifest.get("fingerprint") != self.fingerprint:
                 continue
             step_dir = os.path.join(self.checkpoint_dir, f"state_{step}")
+            # read with the format the manifest RECORDS (not the current
+            # setting): a config change between crash and restart must not
+            # misread old state. Pre-format manifests default to parquet.
+            fmt = manifest.get("format", "parquet")
             try:
                 states = {
-                    name: self.spark.read.parquet(os.path.join(step_dir, name))
+                    name: self.spark.read.format(fmt).load(os.path.join(step_dir, name))
                     for name in manifest["states"]
                 }
             except Exception:

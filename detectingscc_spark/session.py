@@ -31,15 +31,21 @@ def get_spark(
     /root/reference/include/scc_kernels.h:46-105). Arrow is on because all
     custom kernels are pandas/Arrow-vectorized, never per-row Python.
     """
-    if master is None:
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # self-launched (tests/bench/python -m): default to local[N].
+        # Under spark-submit the JVM gateway already exists (it exports
+        # PYSPARK_GATEWAY_PORT) and carries the submitted --master —
+        # setting one here would clobber the cluster master, so don't.
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

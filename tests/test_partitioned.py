@@ -55,6 +55,28 @@ def test_partitioned_on_corpus_graph(spark):
     assert got == kosaraju_scc(erows, list(range(n)))
 
 
+def test_partitioned_oversized_part_degrades_to_global(spark):
+    """A part too big for one Arrow batch must bypass the local Tarjan
+    (identity labels) and be absorbed by the global phase — same exact
+    SCC ids, no executor-sized assumption. Forced here by a tiny
+    max_local_edges so every hash part is 'oversized'; also mixed: only
+    part 0 oversized via a crafted threshold."""
+    path = os.path.join(REF_DATA, "sample128.gr")
+    v, _ = gtgraph_meta(spark, path)
+    edges = read_gtgraph(spark, path)
+    erows = [(r["src"], r["dst"]) for r in edges.collect()]
+    want = kosaraju_scc(erows, list(range(1, v + 1)))
+
+    # every part oversized -> pure global-engine path through the
+    # partitioned API (local phase contributes nothing)
+    res = scc_partitioned(spark, edges, spark.range(1, v + 1), n_parts=10, max_local_edges=1)
+    assert {r["id"]: r["scc_id"] for r in res.collect()} == want
+
+    # threshold between part sizes -> some parts local, some global
+    res2 = scc_partitioned(spark, edges, spark.range(1, v + 1), n_parts=10, max_local_verts=12)
+    assert {r["id"]: r["scc_id"] for r in res2.collect()} == want
+
+
 def test_metis_sink_roundtrip(spark, tmp_path):
     """write_metis_partition emits the reference's .part format: reading
     the reference's shipped labeling and writing it back is byte-stable."""

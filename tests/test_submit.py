@@ -1,0 +1,54 @@
+"""The north rule's launch path — `spark-submit --py-files <zip>` — must
+actually work: package the engine with tools/make_pyfiles.py, then run a
+real spark-submit from a scratch directory (so the import can ONLY be
+satisfied by the --py-files zip) and check the result parquet + metrics.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit_bin() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+def test_spark_submit_pyfiles_scc(tmp_path):
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert zip_path.endswith("detectingscc_spark.zip") and os.path.exists(zip_path)
+
+    # run from a scratch cwd with the repo stripped from PYTHONPATH: the
+    # engine import must come from the submitted zip, nothing else
+    script = tmp_path / "submit_main.py"
+    shutil.copy(os.path.join(REPO, "tools", "submit_main.py"), script)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    cmd = [
+        _spark_submit_bin(),
+        "--master", "local[8]",
+        "--py-files", zip_path,
+        str(script),
+        "--algo", "scc",
+        "--input", "/root/reference/data/sample1.gr",
+        "--output", str(out_dir),
+        "--checkpoint-dir", str(ckpt),
+        "-w", "8",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                       cwd=tmp_path, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(out_dir / "metrics.json") as f:
+        metrics = json.load(f)
+    assert metrics["algo"] == "scc"
+    assert metrics["groups"] == 3  # sample1.gr has 3 SCCs
+    assert os.path.isdir(out_dir / "result")

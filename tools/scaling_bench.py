@@ -63,7 +63,10 @@ def run(cpus: int, n_files: int) -> dict:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
         cmd,
-        env=env, capture_output=True, text=True, timeout=3600,
+        env=env, capture_output=True, text=True,
+        # 32M at local[8] exceeds an hour on this VM; keep the guard but
+        # make it generous and overridable
+        timeout=int(os.environ.get("SPARK_GRAFT_CHILD_TIMEOUT", "10800")),
     )
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
