@@ -70,7 +70,12 @@ def run(cpus: int, n_files: int) -> dict:
     )
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
-            return json.loads(line)
+            r = json.loads(line)
+            # emit each leg as soon as it lands: a crash in a LATER leg
+            # (e.g. the 24M local[32] memory-edge abort, BASELINE.md
+            # round-4 notes) must not lose this leg's number
+            print(f"leg cpus={cpus}: {line}", flush=True)
+            return r
     raise RuntimeError(f"no result from cpus={cpus}: {out.stderr[-2000:]}")
 
 
