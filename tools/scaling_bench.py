@@ -76,7 +76,15 @@ def run(cpus: int, n_files: int) -> dict:
             # round-4 notes) must not lose this leg's number
             print(f"leg cpus={cpus}: {line}", flush=True)
             return r
-    raise RuntimeError(f"no result from cpus={cpus}: {out.stderr[-2000:]}")
+    # keep the FULL child output: the in-message tail is routinely too
+    # short to contain the root cause (two 24M failures were undiagnosable
+    # from the last 2000 chars alone — BASELINE.md round-4 notes)
+    dump = os.path.join(REPO, "tools", f"scaling_child_fail_cpus{cpus}.log")
+    with open(dump, "w") as f:
+        f.write("=== stdout ===\n" + out.stdout + "\n=== stderr ===\n" + out.stderr)
+    raise RuntimeError(
+        f"no result from cpus={cpus} (full child output: {dump}): {out.stderr[-2000:]}"
+    )
 
 
 def main():
