@@ -449,11 +449,15 @@ def q_ngram_topk(spark, sf_dir):
         .groupBy("gram")
         .agg(F.count("*").alias("n"))
     )
-    top = counted.orderBy(F.col("n").desc(), F.col("gram").asc()).limit(20).collect()
-    return spark.createDataFrame(
-        [(r["gram"], r["n"], i + 1) for i, r in enumerate(top)],
-        "gram string, n long, rank int",
-    )
+    from pyspark.sql.window import Window
+
+    # stay LAZY (nothing executes at build time): orderBy().limit(20) is a
+    # TakeOrderedAndProject, and the rank window's input is that bounded
+    # 20-row frame, so the unpartitioned window is a constant, not a scale
+    # surface
+    top = counted.orderBy(F.col("n").desc(), F.col("gram").asc()).limit(20)
+    w = Window.orderBy(F.col("n").desc(), F.col("gram").asc())
+    return top.select("gram", "n", F.row_number().over(w).alias("rank"))
 
 
 def q_dedup_sweep(spark, sf_dir):
@@ -525,50 +529,154 @@ def q_ann_ivf_trained(spark, sf_dir):
     return ann_topk_ivf(emb, query_ids=[0, 1, 2, 3, 4], k=5, centroids=cents)
 
 
-_ANN_LSH_IDX = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".artifacts", "ann_lsh_index"
-)
-_ANN_IVF_IDX = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".artifacts", "ann_ivf_index"
-)
+def _ann_index_path(kind: str, sf_dir: str, params: str) -> str:
+    """Artifact path keyed by (sf_dir, params, source parquet file sizes):
+    concurrent drivers on different inputs can never race on a shared
+    directory, and a stale index is never reused after the source table
+    changes (the size signature shifts the digest). The build itself is
+    idempotent-by-key: callers skip it when the keyed _SUCCESS exists."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    sig = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for fn in sorted(files):
+                p = os.path.join(root, fn)
+                sig.append(f"{os.path.relpath(p, src)}:{os.path.getsize(p)}")
+    elif os.path.exists(src):
+        sig.append(f"f:{os.path.getsize(src)}")
+    digest = hashlib.sha256(
+        "|".join([os.path.abspath(sf_dir), params] + sig).encode()
+    ).hexdigest()[:16]
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".artifacts", f"{kind}_{digest}"
+    )
+
+
+def _swap_in(tmp: str, final: str) -> None:
+    """Atomically install a complete build dir at its keyed path. Losing
+    a same-key race is benign: the loser discards its tmp and uses the
+    winner's identical (deterministic-by-key) artifact."""
+    import shutil
+    import uuid
+
+    stale = None
+    if os.path.exists(final):
+        stale = f"{final}.stale-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(final, stale)
+        except OSError:
+            stale = None
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(final, "_SUCCESS")):
+            raise
+    if stale:
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def _build_published(path: str, build_to, suffixes=("",), replace=False) -> None:
+    """Atomic-publish discipline for keyed index artifacts: the Spark
+    write lands in a unique tmp sibling, renamed into place only when
+    complete. A reader therefore never observes Spark's clear-then-
+    rewrite window (the race the shared keyed path hit when a forced
+    rebuild ran concurrently with a same-input probe), and two same-key
+    builders resolve to one winner instead of an 'unable to clear
+    output directory' crash: with replace=False a builder that finds a
+    complete artifact at its key after building discards its tmp — the
+    artifact is deterministic-by-key, and swapping it would yank files
+    out from under the first builder's in-flight probe (measured: a
+    concurrent-builder race test hit FILE_NOT_EXIST exactly that way).
+    replace=True (forced rebuild) still swaps — a measurement-harness
+    knob, documented single-driver."""
+    import shutil
+    import uuid
+
+    tmp = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    build_to(tmp)
+    # publish order makes the primary dir's _SUCCESS — the existence
+    # check ensure_* trusts — the LAST thing to appear, so its presence
+    # implies every secondary is already in place
+    if not replace and os.path.exists(os.path.join(path, "_SUCCESS")):
+        for suf in suffixes:
+            shutil.rmtree(tmp + suf, ignore_errors=True)
+        return
+    for suf in sorted(suffixes, key=lambda s: s == ""):
+        _swap_in(tmp + suf, path + suf)
+
+
+def ensure_lsh_index(spark, sf_dir, n_tables=8, rebuild=False) -> str:
+    """Build the persisted LSH index for (sf_dir, params) if the keyed
+    artifact doesn't exist yet; return its path. `rebuild=True` forces a
+    fresh build (bench uses it to time the build leg honestly)."""
+    from detectingscc_spark.functions.ann_index import write_lsh_index
+
+    path = _ann_index_path("ann_lsh", sf_dir, f"lsh:planes=8:tables={n_tables}:seed=7")
+    if rebuild or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _build_published(
+            path,
+            lambda tmp: write_lsh_index(_emb(spark, sf_dir), tmp, n_tables=n_tables),
+            replace=rebuild,
+        )
+    return path
+
+
+def ensure_ivf_index(spark, sf_dir, n_centroids=16, rebuild=False) -> str:
+    """Build the persisted IVF index (+ centroid table) for (sf_dir,
+    params) if the keyed artifact doesn't exist yet; return its path."""
+    from detectingscc_spark.functions.ann_index import write_ivf_index
+
+    path = _ann_index_path("ann_ivf", sf_dir, f"ivf:k={n_centroids}:anchor")
+    if (
+        rebuild
+        or not os.path.exists(os.path.join(path, "_SUCCESS"))
+        or not os.path.exists(os.path.join(path + "_centroids", "_SUCCESS"))
+    ):
+        _build_published(
+            path,
+            lambda tmp: write_ivf_index(_emb(spark, sf_dir), tmp, n_centroids=n_centroids),
+            suffixes=("_centroids", ""),
+            replace=rebuild,
+        )
+    return path
 
 
 def q_ann_lsh_indexed(spark, sf_dir):
     """LSH ANN against a PERSISTED index: build the (tbl, bucket)-
-    partitioned parquet index once, then answer the query with a pruned
-    scan of only the probed bucket directories (the write side that
-    similarity.lsh_buckets_multi's docstring promises). Same parameters
-    as q_ann_lsh except n_tables=8 (8 x 256 = 2k index partitions — the
-    20-table fan-out is recall overkill for a persisted index and its
-    5k-directory commit dominates at fixture scale), so the oracle is
-    _ann_lsh_sql(n_tables=8) — equal results from the persisted path IS
-    the check."""
-    from detectingscc_spark.functions.ann_index import (
-        ann_topk_lsh_indexed,
-        write_lsh_index,
-    )
+    partitioned parquet index ONCE per (sf_dir, params) — the artifact
+    path is content-keyed and reused when its _SUCCESS exists, so the
+    query times the probe path, not the build — then answer the query
+    with a pruned scan of only the probed bucket directories (the write
+    side that similarity.lsh_buckets_multi's docstring promises). Same
+    parameters as q_ann_lsh except n_tables=8 (8 x 256 = 2k index
+    partitions — the 20-table fan-out is recall overkill for a persisted
+    index and its 5k-directory commit dominates at fixture scale), so the
+    oracle is _ann_lsh_sql(n_tables=8) — equal results from the persisted
+    path IS the check."""
+    from detectingscc_spark.functions.ann_index import ann_topk_lsh_indexed
 
-    emb = _emb(spark, sf_dir)
-    write_lsh_index(emb, _ANN_LSH_IDX, n_tables=8)
+    path = ensure_lsh_index(spark, sf_dir, n_tables=8)
     return ann_topk_lsh_indexed(
-        spark, _ANN_LSH_IDX, emb, query_ids=[0, 1, 2, 3, 4], k=5, n_tables=8
+        spark, path, _emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5, n_tables=8
     )
 
 
 def q_ann_ivf_indexed(spark, sf_dir):
-    """IVF ANN against PERSISTED inverted lists + centroid table: probe
-    cells are derived from the persisted centroids and pushed as a
-    literal partition predicate, so only the probed cells' directories
-    are read. Same anchor quantizer and parameters as q_ann_ivf → oracle
-    is ANN_IVF_SQL verbatim."""
-    from detectingscc_spark.functions.ann_index import (
-        ann_topk_ivf_indexed,
-        write_ivf_index,
-    )
+    """IVF ANN against PERSISTED inverted lists + centroid table (built
+    once per (sf_dir, params), content-keyed path): probe cells are
+    derived from the persisted centroids and pushed as a literal
+    partition predicate, so only the probed cells' directories are read.
+    Same anchor quantizer and parameters as q_ann_ivf → oracle is
+    ANN_IVF_SQL verbatim."""
+    from detectingscc_spark.functions.ann_index import ann_topk_ivf_indexed
 
-    emb = _emb(spark, sf_dir)
-    write_ivf_index(emb, _ANN_IVF_IDX, n_centroids=16)
-    return ann_topk_ivf_indexed(spark, _ANN_IVF_IDX, emb, query_ids=[0, 1, 2, 3, 4], k=5)
+    path = ensure_ivf_index(spark, sf_dir, n_centroids=16)
+    return ann_topk_ivf_indexed(
+        spark, path, _emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5
+    )
 
 
 def q_events_hourly(spark, sf_dir):

@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--algo", required=True,
                     choices=["scc", "scc-coloring", "scc-partitioned", "scc-csr",
                              "cc", "pagerank", "ppr", "lpa", "triangles", "kcore",
-                             "bfs"])
+                             "bfs", "ann-build", "ann-probe"])
     ap.add_argument("--k", type=int, default=3, help="k for --algo kcore")
     ap.add_argument("--sources-mod", type=int, default=100,
                     help="ppr/bfs source set: vertices with id %% mod == 0")
@@ -45,6 +45,15 @@ def main():
                     help="salt hub adjacency above this residual degree; "
                     "below it AQE skew-join splitting is the measured default")
     ap.add_argument("--n-parts", type=int, default=32)
+    ap.add_argument("--index-path", default=None,
+                    help="persisted ANN index dir (required for "
+                    "--algo ann-build / ann-probe)")
+    ap.add_argument("--index-kind", choices=["lsh", "ivf"], default="lsh")
+    ap.add_argument("--query-ids", default="0,1,2,3,4",
+                    help="comma-separated vec_ids to probe (ann-probe)")
+    ap.add_argument("--topk", type=int, default=5)
+    ap.add_argument("--n-tables", type=int, default=8,
+                    help="LSH hash tables (ann-build/ann-probe, must match)")
     ap.add_argument("--master", default=None)
     ap.add_argument(
         "-w", "--warp-size", type=int, default=None,
@@ -61,6 +70,54 @@ def main():
         app_name=f"detectingscc-{args.algo}", master=args.master,
         shuffle_partitions=args.warp_size,
     )
+
+    if args.algo in ("ann-build", "ann-probe"):
+        # production ANN read path, drivable without Python: --input is the
+        # embedding parquet (vec_id, embedding); ann-build persists the
+        # partitioned index at --index-path, ann-probe answers top-k
+        # against it with the pruned partition scan (functions/ann_index).
+        if not args.index_path:
+            ap.error("--index-path is required for ann-build/ann-probe")
+        emb = spark.read.parquet(args.input)
+        os.makedirs(args.output, exist_ok=True)
+        t0 = time.time()
+        if args.algo == "ann-build":
+            if args.index_kind == "lsh":
+                from .functions.ann_index import write_lsh_index
+
+                write_lsh_index(emb, args.index_path, n_tables=args.n_tables)
+            else:
+                from .functions.ann_index import write_ivf_index
+
+                write_ivf_index(emb, args.index_path)
+            metrics = {"algo": args.algo, "kind": args.index_kind,
+                       "index_path": args.index_path,
+                       "time_sec": round(time.time() - t0, 3)}
+        else:
+            qids = [int(x) for x in args.query_ids.split(",") if x.strip()]
+            if args.index_kind == "lsh":
+                from .functions.ann_index import ann_topk_lsh_indexed
+
+                result = ann_topk_lsh_indexed(
+                    spark, args.index_path, emb, qids, k=args.topk,
+                    n_tables=args.n_tables,
+                )
+            else:
+                from .functions.ann_index import ann_topk_ivf_indexed
+
+                result = ann_topk_ivf_indexed(
+                    spark, args.index_path, emb, qids, k=args.topk,
+                )
+            n_rows = result.count()
+            result.write.mode("overwrite").parquet(os.path.join(args.output, "result"))
+            metrics = {"algo": args.algo, "kind": args.index_kind,
+                       "index_path": args.index_path, "rows": int(n_rows),
+                       "probe_time_sec": round(time.time() - t0, 3)}
+        with open(os.path.join(args.output, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(json.dumps(metrics))
+        return
+
     if args.input.endswith(".gr"):
         edges = read_gtgraph(spark, args.input)
         v, _ = gtgraph_meta(spark, args.input)

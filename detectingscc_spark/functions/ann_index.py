@@ -94,6 +94,10 @@ def pruned_lsh_scan(
     for t, bkt in probe_pairs:
         by_tbl.setdefault(int(t), set()).add(int(bkt))
     idx = spark.read.parquet(path)
+    if not by_tbl:
+        # no probes (query ids matched no embedding rows): an empty
+        # result with the index schema, not a reduce() TypeError
+        return idx.where(F.lit(False))
     pred = reduce(
         lambda a, b: a | b,
         [

@@ -77,7 +77,12 @@ def bfs_distances(
         frag_slots.append(f"settled_{hops}")
         settled_view = settled_view.unionByName(new)
         if len(frag_slots) >= COMPACT_EVERY:
-            settled_view, _ = runner.tick("settled_base", settled_view, count=False)
+            # detach=False: the settled set only grows by unions (additive
+            # stats); the detach Row round trip would tax every anti-join
+            # scan of exactly the frame this compaction makes cheap
+            settled_view, _ = runner.tick(
+                "settled_base", settled_view, count=False, detach=False
+            )
             # newest fragment stays alive: it is the live frontier for the
             # next hop's join (its blocks must not be dropped)
             for s in frag_slots[:-1]:

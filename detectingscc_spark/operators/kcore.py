@@ -91,7 +91,10 @@ def kcore(
             resid.join(alive.withColumnRenamed("id", "a"), "a", "left_semi")
             .join(alive.withColumnRenamed("id", "b"), "b", "left_semi")
         )
-        resid, _ = runner.tick("resid_next", nxt, count=False)
+        # detach=False: the residual is a large edge frame whose stats
+        # compound additively (semi-join shrink), same as the und tick —
+        # the Row round trip is for multiplicative-stats state frames
+        resid, _ = runner.tick("resid_next", nxt, count=False, detach=False)
         runner.promote("resid_next", "resid")
     else:
         if rounds is None:

@@ -88,15 +88,19 @@ def scc_partitioned(
 
     # graceful degradation: a part too big for one Arrow batch is exempted
     # from the local phase (identity labels) and left to the global engine.
-    # Two tiny aggs (≤ n_parts rows each) decide; empty on healthy inputs.
-    esz = local_edges.groupBy("part").agg(F.count(F.lit(1)).alias("ne"))
-    vsz = vp.groupBy("part").agg(F.count(F.lit(1)).alias("nv"))
+    # ONE job decides: edge rows and vertex rows union (tagged) into a
+    # single ≤ n_parts-row agg — every part appears in vp, so no outer
+    # join is needed. Empty on healthy inputs.
+    sizes = (
+        local_edges.select("part", F.lit(1).alias("e"))
+        .unionByName(vp.select("part", F.lit(0).alias("e")))
+        .groupBy("part")
+        .agg(F.sum("e").alias("ne"), F.sum(1 - F.col("e")).alias("nv"))
+    )
     oversized = [
         int(r["part"])
-        for r in esz.join(vsz, "part", "full_outer")
-        .where(
-            (F.coalesce("ne", F.lit(0)) > max_local_edges)
-            | (F.coalesce("nv", F.lit(0)) > max_local_verts)
+        for r in sizes.where(
+            (F.col("ne") > max_local_edges) | (F.col("nv") > max_local_verts)
         )
         .select("part")
         .collect()

@@ -503,9 +503,13 @@ def _bfs_join(runner, re_f, re_cnt, state, max_bfs_hops, unroll=1,
     # depth feeds metrics with its documented meaning regardless of unroll
     hops = 0
     while cnt > 0:
-        hops += unroll
-        if hops > max_bfs_hops:
+        # abort only when the window STARTS at/past the budget: a window
+        # whose start is within budget may legitimately finish the BFS
+        # even though start + unroll overshoots (e.g. budget 10000,
+        # unroll 3, true depth 10000 must not raise at hops=10002)
+        if hops >= max_bfs_hops:
             raise RuntimeError("BFS exceeded max hops")
+        hops += unroll
         if cnt > BROADCAST_ROW_LIMIT and hubs is None:
             # first shuffle-join hop: split the edge frame once into hub
             # adjacency (salted) and the rest (joined plainly)

@@ -98,39 +98,55 @@ def write_metis_graph(edges: DataFrame, path: str, n_verts: int, n_edges: int | 
     line.
 
     Compatibility sink for running the actual METIS partitioner on an
-    engine graph — inherently a single ordered text file, so like
-    write_metis_partition it collects to the driver by design (the scale
-    path is the native `part` vertex column). The neighbor grouping and
-    sorting run Spark-side (sort_array over collect_list); only the
-    final ordered write is driver-side. Strictly 1-indexed: ids < 1 are
-    rejected loudly, matching the .part sink's contract.
+    engine graph — inherently a single ordered text file, but it STREAMS:
+    the neighbor grouping and sorting run Spark-side (sort_array over
+    collect_list), the rows arrive id-sorted via toLocalIterator()
+    partition by partition, and the driver never holds more than one
+    vertex's adjacency (a hub's single collect_list row is the remaining
+    concentration point — inherent to a format that puts all neighbors
+    of a vertex on one line). The scale path is the native `part` vertex
+    column. Strictly 1-indexed: ids < 1 are rejected loudly, matching
+    the .part sink's contract.
     """
     e = edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+    bounds = e.select(
+        F.least(F.min("src"), F.min("dst")).alias("lo"),
+        F.greatest(F.max("src"), F.max("dst")).alias("hi"),
+        F.count(F.lit(1)).alias("m"),
+    ).first()
+    if bounds["lo"] is not None and int(bounds["lo"]) < 1:
+        raise ValueError(
+            "write_metis_graph: METIS .graph files are 1-indexed but the edge "
+            f"frame contains vertex id {int(bounds['lo'])}; shift 0-based "
+            "engine ids by +1 before writing"
+        )
+    if bounds["hi"] is not None and int(bounds["hi"]) > n_verts:
+        raise ValueError(
+            f"write_metis_graph: edge frame references vertex id "
+            f"{int(bounds['hi'])} beyond n_verts={n_verts}"
+        )
+    m = n_edges if n_edges is not None else int(bounds["m"] or 0)
     outs = e.groupBy(F.col("src").alias("id")).agg(
         F.sort_array(F.collect_list("dst")).alias("outs")
     )
     ins = e.groupBy(F.col("dst").alias("id")).agg(
         F.sort_array(F.collect_list("src")).alias("ins")
     )
-    rows = outs.join(ins, "id", "full_outer").select("id", "outs", "ins").collect()
-    adj = {int(r["id"]): (r["outs"] or [], r["ins"] or []) for r in rows}
-    if adj and min(adj) < 1:
-        raise ValueError(
-            "write_metis_graph: METIS .graph files are 1-indexed but the edge "
-            f"frame contains vertex id {min(adj)}; shift 0-based engine ids by "
-            "+1 before writing"
-        )
-    if adj and max(adj) > n_verts:
-        raise ValueError(
-            f"write_metis_graph: edge frame references vertex id {max(adj)} "
-            f"beyond n_verts={n_verts}"
-        )
-    m = n_edges if n_edges is not None else sum(len(o) for o, _ in adj.values())
+    rows = outs.join(ins, "id", "full_outer").select("id", "outs", "ins").orderBy("id")
     with open(path, "w") as f:
         f.write(f"{n_verts} {m}\n")
-        for i in range(1, n_verts + 1):
-            o, b = adj.get(i, ([], []))
+        nxt = 1
+        for r in rows.toLocalIterator():
+            i = int(r["id"])
+            while nxt < i:  # isolated vertices: empty lines
+                f.write("\n")
+                nxt += 1
+            o, b = (r["outs"] or []), (r["ins"] or [])
             f.write("".join(f"{x} " for x in list(o) + list(b)) + "\n")
+            nxt = i + 1
+        while nxt <= n_verts:
+            f.write("\n")
+            nxt += 1
 
 
 def read_metis_partition(spark: SparkSession, path: str) -> DataFrame:

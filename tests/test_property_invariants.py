@@ -106,3 +106,60 @@ def test_pagerank_mass_conservation_random_graphs(spark, deltas):
     pr = pagerank(spark, edges, verts, fixed_iters=5)
     total = pr.agg(F.sum("rank")).first()[0]
     assert abs(total - 1.0) < 1e-9
+
+
+@given(
+    data_seed=st.integers(min_value=0, max_value=2**31 - 1),
+    lsh_seed=st.integers(min_value=1, max_value=1000),
+    n_tables=st.integers(min_value=1, max_value=4),
+    probe_hamming=st.integers(min_value=0, max_value=1),
+    n_probe=st.integers(min_value=1, max_value=4),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_persisted_ann_equals_recompute(
+    spark, tmp_path, data_seed, lsh_seed, n_tables, probe_hamming, n_probe
+):
+    """Persisted-index probe == recompute-everything operator, over
+    random embeddings and index parameters (VERDICT r4 item 7): the
+    pruned partition scan of a just-written LSH/IVF index must return
+    exactly the rows of ann_topk_lsh / ann_topk_ivf with the same
+    parameters — seeds, table counts, probe widths all drawn."""
+    import numpy as np
+
+    from detectingscc_spark.functions.ann_index import (
+        ann_topk_ivf_indexed,
+        ann_topk_lsh_indexed,
+        write_ivf_index,
+        write_lsh_index,
+    )
+    from detectingscc_spark.functions.similarity import ann_topk_ivf, ann_topk_lsh
+
+    dims, n_docs = 16, 32
+    rng = np.random.default_rng(data_seed)
+    vecs = rng.standard_normal((n_docs, dims)).round(4)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n_docs)],
+        "vec_id long, embedding array<double>",
+    )
+    qids = [0, 1, 2]
+    common = dict(k=3, n_planes=4, n_tables=n_tables,
+                  probe_hamming=probe_hamming, seed=lsh_seed, dims=dims)
+
+    def rows(df):
+        return sorted((r["query_id"], r["vec_id"], r["cos"], r["rank"]) for r in df.collect())
+
+    lsh_path = str(tmp_path / "lsh")
+    write_lsh_index(emb, lsh_path, n_planes=4, n_tables=n_tables, seed=lsh_seed, dims=dims)
+    assert rows(ann_topk_lsh_indexed(spark, lsh_path, emb, qids, **common)) == rows(
+        ann_topk_lsh(emb, qids, **common)
+    )
+
+    ivf_path = str(tmp_path / "ivf")
+    write_ivf_index(emb, ivf_path, n_centroids=8)
+    assert rows(ann_topk_ivf_indexed(spark, ivf_path, emb, qids, k=3, n_probe=n_probe)) == rows(
+        ann_topk_ivf(emb, qids, k=3, n_centroids=8, n_probe=n_probe)
+    )
