@@ -52,39 +52,48 @@ def write_metis_partition(parts: DataFrame, path: str, n_verts: int | None = Non
     partition label of vertex i (1-indexed), the format the reference
     emits at /root/reference/src/MetisInput.cpp:114-131.
 
-    Compatibility sink for interop with METIS tooling on small/debug
-    graphs — it is inherently a single ordered text file, so it collects
-    to the driver by design. The SCALE path is the native one: partition
-    labels live as a `part` column in the vertex parquet (see ingest.py),
-    which is what every operator here consumes.
+    Compatibility sink for interop with METIS tooling — inherently a
+    single ordered text file, but it STREAMS: one agg job proves the id
+    space is exactly the dense permutation 1..n (so errors fire before a
+    byte is written), then rows arrive id-sorted via toLocalIterator()
+    and the driver never holds more than one label. The SCALE path is
+    the native one: partition labels live as a `part` column in the
+    vertex parquet (see ingest.py), which is what every operator here
+    consumes.
 
     The format is strictly 1-indexed and dense: a 0-based id frame (e.g.
-    minted engine vertices) or a sparse id space cannot round-trip, so
-    both are rejected loudly instead of silently fabricating label 0
-    lines for ids the frame never contained.
+    minted engine vertices), a sparse id space, or a duplicated id
+    cannot round-trip, so all are rejected loudly instead of silently
+    fabricating label 0 lines or last-writer-wins labels.
     """
-    rows = parts.select(
+    e = parts.select(
         F.col("id").cast("long").alias("id"), F.col("part").cast("int").alias("part")
-    ).collect()
-    labels = {int(r["id"]): int(r["part"]) for r in rows}
-    if labels and min(labels) < 1:
+    )
+    st = e.agg(
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("id").alias("ids"),
+    ).first()
+    cnt = int(st["cnt"] or 0)
+    if cnt and int(st["lo"]) < 1:
         raise ValueError(
             "write_metis_partition: METIS .part files are 1-indexed but the "
-            f"frame contains id {min(labels)}; shift 0-based engine ids by +1 "
+            f"frame contains id {int(st['lo'])}; shift 0-based engine ids by +1 "
             "before writing"
         )
-    n = n_verts if n_verts is not None else (max(labels) if labels else 0)
-    missing = [i for i in range(1, n + 1) if i not in labels]
-    if missing:
+    n = n_verts if n_verts is not None else (int(st["hi"]) if cnt else 0)
+    if cnt != n or int(st["ids"] or 0) != n or (cnt and int(st["hi"]) != n):
         raise ValueError(
-            f"write_metis_partition: no label for vertex id(s) {missing[:5]}"
-            f"{'...' if len(missing) > 5 else ''} of 1..{n}; the format has no "
-            "notion of a missing vertex — provide a dense labeling or pass the "
+            f"write_metis_partition: no label for some vertex of 1..{n} "
+            f"(frame has {cnt} rows, {int(st['ids'] or 0)} distinct ids, "
+            f"max id {int(st['hi'] or 0)}); the format has no notion of a "
+            "missing vertex — provide a dense 1..n labeling or pass the "
             "correct n_verts"
         )
     with open(path, "w") as f:
-        for i in range(1, n + 1):
-            f.write(f"{labels[i]}\n")
+        for r in e.orderBy("id").toLocalIterator():
+            f.write(f"{int(r['part'])}\n")
 
 
 def write_metis_graph(edges: DataFrame, path: str, n_verts: int, n_edges: int | None = None) -> None:
