@@ -134,6 +134,14 @@ def main():
     probe_fn(spark, SF_DIR).count()
     extras["ann_probe_sec"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    entry.ensure_ivf_index(spark, SF_DIR, n_centroids=16, rebuild=True)
+    extras["ann_ivf_build_sec"] = round(time.time() - t0, 3)
+    probe_fn = entry.queries()["ann_ivf_indexed"]
+    t0 = time.time()
+    probe_fn(spark, SF_DIR).count()
+    extras["ann_ivf_probe_sec"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

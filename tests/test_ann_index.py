@@ -123,3 +123,41 @@ def test_ivf_indexed_trained_quantizer(spark, tmp_path):
     live = ann_topk_ivf(emb, qids, k=5, n_centroids=8, n_probe=3, centroids=cents)
     idx = ann_topk_ivf_indexed(spark, path, emb, qids, k=5, n_probe=3)
     assert _rows(idx) == _rows(live)
+
+
+def test_cli_ann_ivf_build_then_probe_inprocess(spark, tmp_path, monkeypatch):
+    """The --index-kind ivf branch of the ann-build/ann-probe CLI
+    (the LSH branch is covered end-to-end via spark-submit in
+    test_submit.py): build persists the inverted lists + centroid
+    table, probe writes result parquet + metrics with probe_time_sec.
+    In-process (main() never stops the session), so it reuses the
+    suite's SparkSession instead of paying a fresh JVM."""
+    import json
+    import sys
+
+    from detectingscc_spark.__main__ import main
+
+    emb_path = f"{SF}/embeddings.parquet"
+    idx = tmp_path / "ivf_idx"
+    monkeypatch.setattr(sys, "argv", [
+        "detectingscc_spark", "--algo", "ann-build", "--index-kind", "ivf",
+        "--input", emb_path, "--index-path", str(idx),
+        "--output", str(tmp_path / "build_out"),
+    ])
+    main()
+    assert os.path.exists(idx / "_SUCCESS")
+    assert os.path.exists(str(idx) + "_centroids/_SUCCESS")
+
+    monkeypatch.setattr(sys, "argv", [
+        "detectingscc_spark", "--algo", "ann-probe", "--index-kind", "ivf",
+        "--query-ids", "0,1,2", "--topk", "3",
+        "--input", emb_path, "--index-path", str(idx),
+        "--output", str(tmp_path / "probe_out"),
+    ])
+    main()
+    with open(tmp_path / "probe_out" / "metrics.json") as f:
+        metrics = json.load(f)
+    assert metrics["algo"] == "ann-probe" and metrics["rows"] > 0
+    assert "probe_time_sec" in metrics
+    got = spark.read.parquet(str(tmp_path / "probe_out" / "result"))
+    assert got.count() == metrics["rows"]
