@@ -530,11 +530,13 @@ def q_ann_ivf_trained(spark, sf_dir):
 
 
 def _ann_index_path(kind: str, sf_dir: str, params: str) -> str:
-    """Artifact path keyed by (sf_dir, params, source parquet file sizes):
-    concurrent drivers on different inputs can never race on a shared
-    directory, and a stale index is never reused after the source table
-    changes (the size signature shifts the digest). The build itself is
-    idempotent-by-key: callers skip it when the keyed _SUCCESS exists."""
+    """Artifact path keyed by (sf_dir, params, source parquet file
+    names + sizes + mtimes): concurrent drivers on different inputs can
+    never race on a shared directory, and a stale index is never reused
+    after the source table changes — a rewrite that happens to preserve
+    every file size still shifts the digest via the mtimes. The build
+    itself is idempotent-by-key: callers skip it when the keyed
+    _SUCCESS exists."""
     import hashlib
 
     src = os.path.join(sf_dir, "embeddings.parquet")
@@ -543,15 +545,49 @@ def _ann_index_path(kind: str, sf_dir: str, params: str) -> str:
         for root, _dirs, files in os.walk(src):
             for fn in sorted(files):
                 p = os.path.join(root, fn)
-                sig.append(f"{os.path.relpath(p, src)}:{os.path.getsize(p)}")
+                st = os.stat(p)
+                sig.append(f"{os.path.relpath(p, src)}:{st.st_size}:{st.st_mtime_ns}")
     elif os.path.exists(src):
-        sig.append(f"f:{os.path.getsize(src)}")
+        st = os.stat(src)
+        sig.append(f"f:{st.st_size}:{st.st_mtime_ns}")
     digest = hashlib.sha256(
         "|".join([os.path.abspath(sf_dir), params] + sig).encode()
     ).hexdigest()[:16]
-    return os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".artifacts", f"{kind}_{digest}"
+    return os.path.join(_artifacts_dir(), f"{kind}_{digest}")
+
+
+def _artifacts_dir() -> str:
+    """Keyed-index artifact root; env-overridable so tests (and a
+    deployment that wants artifacts off the checkout) can redirect it."""
+    return os.environ.get(
+        "SPARK_GRAFT_ARTIFACTS_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".artifacts"),
     )
+
+
+def _prune_superseded(kind: str, keep: str) -> None:
+    """Delete sibling digests of the same kind that the live key has
+    superseded (a source rewrite or param change shifts the digest and
+    the old directory would otherwise accumulate forever — two stale IVF
+    digests had already piled up by round 5). Only entries matching
+    `{kind}_<16-hex>` with a digest other than the live one are removed;
+    the live digest's own suffix dirs (`_centroids`) and in-flight
+    `.build-*` tmps are untouched. A deployment that intentionally runs
+    concurrent drivers against DIFFERENT source tables from one checkout
+    can set SPARK_GRAFT_KEEP_ARTIFACTS=1 to keep every digest."""
+    import re
+    import shutil
+
+    if os.environ.get("SPARK_GRAFT_KEEP_ARTIFACTS"):
+        return
+    base, keep_name = os.path.dirname(keep), os.path.basename(keep)
+    pat = re.compile(re.escape(kind) + r"_[0-9a-f]{16}")
+    if not os.path.isdir(base):
+        return
+    for name in os.listdir(base):
+        m = pat.match(name)
+        if m and m.group(0) != keep_name:
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
 
 
 def _swap_in(tmp: str, final: str) -> None:
@@ -573,6 +609,15 @@ def _swap_in(tmp: str, final: str) -> None:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
         if not os.path.exists(os.path.join(final, "_SUCCESS")):
+            # non-race failure (no winner appeared at the key): restore
+            # the displaced artifact so the keyed path is never left
+            # empty with its predecessor leaking as a .stale-* sibling
+            if stale and os.path.exists(stale):
+                try:
+                    os.rename(stale, final)
+                    stale = None
+                except OSError:
+                    pass
             raise
     if stale:
         shutil.rmtree(stale, ignore_errors=True)
@@ -599,8 +644,15 @@ def _build_published(path: str, build_to, suffixes=("",), replace=False) -> None
     build_to(tmp)
     # publish order makes the primary dir's _SUCCESS — the existence
     # check ensure_* trusts — the LAST thing to appear, so its presence
-    # implies every secondary is already in place
-    if not replace and os.path.exists(os.path.join(path, "_SUCCESS")):
+    # implies every secondary is already in place. The skip condition
+    # mirrors the callers' own check over EVERY suffix: a primary-only
+    # check would discard a fresh rebuild forever when a crash between
+    # suffix swaps left the primary complete but a secondary (e.g.
+    # _centroids) missing — the exact state ensure_ivf_index rebuilds
+    # for.
+    if not replace and all(
+        os.path.exists(os.path.join(path + suf, "_SUCCESS")) for suf in suffixes
+    ):
         for suf in suffixes:
             shutil.rmtree(tmp + suf, ignore_errors=True)
         return
@@ -621,6 +673,7 @@ def ensure_lsh_index(spark, sf_dir, n_tables=8, rebuild=False) -> str:
             lambda tmp: write_lsh_index(_emb(spark, sf_dir), tmp, n_tables=n_tables),
             replace=rebuild,
         )
+    _prune_superseded("ann_lsh", path)
     return path
 
 
@@ -641,6 +694,7 @@ def ensure_ivf_index(spark, sf_dir, n_centroids=16, rebuild=False) -> str:
             suffixes=("_centroids", ""),
             replace=rebuild,
         )
+    _prune_superseded("ann_ivf", path)
     return path
 
 

@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--topk", type=int, default=5)
     ap.add_argument("--n-tables", type=int, default=8,
                     help="LSH hash tables (ann-build/ann-probe, must match)")
+    ap.add_argument("--recall-against", choices=["brute"], default=None,
+                    help="ann-probe: also compute recall@k of the index "
+                    "probe vs exact brute-force top-k on the same session "
+                    "and record it in metrics.json — lets a cluster "
+                    "operator see result quality without Python")
     ap.add_argument("--master", default=None)
     ap.add_argument(
         "-w", "--warp-size", type=int, default=None,
@@ -113,6 +118,23 @@ def main():
             metrics = {"algo": args.algo, "kind": args.index_kind,
                        "index_path": args.index_path, "rows": int(n_rows),
                        "probe_time_sec": round(time.time() - t0, 3)}
+            if args.recall_against == "brute":
+                # recall@k of the probe vs the exact scan, both bounded
+                # (k x |qids| rows) — quality visible in metrics.json
+                from .functions.similarity import brute_force_topk
+
+                truth = {
+                    (r["query_id"], r["vec_id"])
+                    for r in brute_force_topk(emb, qids, k=args.topk)
+                    .select("query_id", "vec_id").collect()
+                }
+                got = {
+                    (r["query_id"], r["vec_id"])
+                    for r in result.select("query_id", "vec_id").collect()
+                }
+                metrics["recall"] = round(
+                    len(truth & got) / max(1, len(truth)), 4
+                )
         with open(os.path.join(args.output, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=2)
         print(json.dumps(metrics))

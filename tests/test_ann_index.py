@@ -150,7 +150,7 @@ def test_cli_ann_ivf_build_then_probe_inprocess(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(sys, "argv", [
         "detectingscc_spark", "--algo", "ann-probe", "--index-kind", "ivf",
-        "--query-ids", "0,1,2", "--topk", "3",
+        "--query-ids", "0,1,2", "--topk", "3", "--recall-against", "brute",
         "--input", emb_path, "--index-path", str(idx),
         "--output", str(tmp_path / "probe_out"),
     ])
@@ -159,5 +159,6 @@ def test_cli_ann_ivf_build_then_probe_inprocess(spark, tmp_path, monkeypatch):
         metrics = json.load(f)
     assert metrics["algo"] == "ann-probe" and metrics["rows"] > 0
     assert "probe_time_sec" in metrics
+    assert 0.0 < metrics["recall"] <= 1.0
     got = spark.read.parquet(str(tmp_path / "probe_out" / "result"))
     assert got.count() == metrics["rows"]

@@ -140,3 +140,79 @@ def test_metis_sink_rejects_zero_based_and_sparse_ids(spark, tmp_path):
     sparse = spark.createDataFrame([(1, 1), (3, 2)], "id long, part int")
     with pytest.raises(ValueError, match="no label"):
         write_metis_partition(sparse, str(tmp_path / "s.part"))
+
+
+# ---- property test: the streamed .graph sink over random digraphs ------
+# The round-5 streaming rewrite introduced driver-side gap-filling for
+# isolated vertices (the `nxt` loop) covered only by the 128-vertex
+# byte-stable fixture; hypothesis exercises it over random small digraphs
+# with isolated vertices, hubs, self-loops and duplicate edges.
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_graphs = st.integers(min_value=1, max_value=10).flatmap(
+    lambda n: st.tuples(
+        st.just(n),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=n),
+                st.integers(min_value=1, max_value=n),
+            ),
+            min_size=0,
+            max_size=25,
+        ),
+    )
+)
+
+
+def _naive_metis_graph(n_verts, erows):
+    """In-memory reference writer with the sink's documented semantics:
+    header `V E`, line i = ascending out-neighbors then ascending
+    in-neighbors, every number followed by one space, empty line for an
+    isolated vertex, duplicates kept."""
+    outs = {i: [] for i in range(1, n_verts + 1)}
+    ins = {i: [] for i in range(1, n_verts + 1)}
+    for u, v in erows:
+        outs[u].append(v)
+        ins[v].append(u)
+    lines = [f"{n_verts} {len(erows)}\n"]
+    for i in range(1, n_verts + 1):
+        nbrs = sorted(outs[i]) + sorted(ins[i])
+        lines.append("".join(f"{x} " for x in nbrs) + "\n" if nbrs else "\n")
+    return "".join(lines)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_graphs)
+def test_metis_graph_sink_property(spark, tmp_path, g):
+    from collections import Counter
+
+    from detectingscc_spark.sources.gtgraph import write_metis_graph
+
+    n_verts, erows = g
+    edges = spark.createDataFrame(
+        [(u, v) for u, v in erows] or [(None, None)], "src long, dst long"
+    ).where("src is not null")
+    out = tmp_path / f"prop_{n_verts}_{len(erows)}.graph"
+    write_metis_graph(edges, str(out), n_verts=n_verts)
+
+    with open(out) as f:
+        got = f.read()
+    assert got == _naive_metis_graph(n_verts, erows)
+
+    # information-content roundtrip: line i holds outs(i)++ins(i), so the
+    # multiset of (line_vertex, neighbor) pairs over the whole file equals
+    # edges ++ reversed(edges) — every edge appears exactly twice
+    lines = got.splitlines()
+    header_v, header_e = (int(x) for x in lines[0].split())
+    assert header_v == n_verts and header_e == len(erows)
+    assert len(lines) == 1 + n_verts
+    seen = Counter(
+        (i, int(x))
+        for i, ln in enumerate(lines[1:], start=1)
+        for x in ln.split()
+    )
+    want = Counter(erows) + Counter((v, u) for u, v in erows)
+    assert seen == want

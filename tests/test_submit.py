@@ -85,10 +85,15 @@ def test_spark_submit_ann_build_then_probe(tmp_path):
 
     submit("--algo", "ann-probe", "--index-kind", "lsh", "--n-tables", "4",
            "--query-ids", "0,1,2", "--topk", "3",
+           "--recall-against", "brute",
            "--input", emb, "--index-path", str(idx),
            "--output", str(tmp_path / "probe_out"), "-w", "8")
     with open(tmp_path / "probe_out" / "metrics.json") as f:
         metrics = json.load(f)
     assert metrics["algo"] == "ann-probe" and metrics["rows"] > 0
     assert "probe_time_sec" in metrics
+    # --recall-against brute: quality is visible to a cluster operator
+    # straight from metrics.json (recall@3 of the pruned-scan probe vs
+    # the exact scan; 4-table LSH on the fixture stays well above 0)
+    assert 0.0 < metrics["recall"] <= 1.0
     assert os.path.isdir(tmp_path / "probe_out" / "result")
