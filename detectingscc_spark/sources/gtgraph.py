@@ -107,13 +107,14 @@ def write_metis_graph(edges: DataFrame, path: str, n_verts: int, n_edges: int | 
     line.
 
     Compatibility sink for running the actual METIS partitioner on an
-    engine graph — inherently a single ordered text file, but it STREAMS:
-    the neighbor grouping and sorting run Spark-side (sort_array over
-    collect_list), the rows arrive id-sorted via toLocalIterator()
-    partition by partition, and the driver never holds more than one
-    vertex's adjacency (a hub's single collect_list row is the remaining
-    concentration point — inherent to a format that puts all neighbors
-    of a vertex on one line). The scale path is the native `part` vertex
+    engine graph — inherently a single ordered text file, but it STREAMS
+    end to end: the adjacency is a globally SORTED stream of
+    (id, out-before-in, neighbor) rows (one Spark range-partitioned
+    sort, no collect_list), fetched partition by partition via
+    toLocalIterator(), and the driver writes each neighbor as it
+    arrives — constant driver memory even for a hub whose adjacency
+    exceeds it (the concentration point the round-5 collect_list
+    version still had). The scale path is the native `part` vertex
     column. Strictly 1-indexed: ids < 1 are rejected loudly, matching
     the .part sink's contract.
     """
@@ -135,24 +136,32 @@ def write_metis_graph(edges: DataFrame, path: str, n_verts: int, n_edges: int | 
             f"{int(bounds['hi'])} beyond n_verts={n_verts}"
         )
     m = n_edges if n_edges is not None else int(bounds["m"] or 0)
-    outs = e.groupBy(F.col("src").alias("id")).agg(
-        F.sort_array(F.collect_list("dst")).alias("outs")
+    # grp=0 → out-neighbors (by dst asc), grp=1 → in-neighbors (by src
+    # asc): the (id, grp, nbr) sort order IS the file's line layout
+    tagged = e.select(
+        F.col("src").alias("id"), F.lit(0).alias("grp"), F.col("dst").alias("nbr")
+    ).union(
+        e.select(F.col("dst").alias("id"), F.lit(1).alias("grp"), F.col("src").alias("nbr"))
     )
-    ins = e.groupBy(F.col("dst").alias("id")).agg(
-        F.sort_array(F.collect_list("src")).alias("ins")
-    )
-    rows = outs.join(ins, "id", "full_outer").select("id", "outs", "ins").orderBy("id")
+    rows = tagged.orderBy("id", "grp", "nbr")
     with open(path, "w") as f:
         f.write(f"{n_verts} {m}\n")
-        nxt = 1
+        nxt = 1  # next vertex needing a line
+        prev = None  # vertex whose line is currently open
         for r in rows.toLocalIterator():
             i = int(r["id"])
-            while nxt < i:  # isolated vertices: empty lines
-                f.write("\n")
-                nxt += 1
-            o, b = (r["outs"] or []), (r["ins"] or [])
-            f.write("".join(f"{x} " for x in list(o) + list(b)) + "\n")
-            nxt = i + 1
+            if i != prev:
+                if prev is not None:
+                    f.write("\n")
+                    nxt = prev + 1
+                while nxt < i:  # isolated vertices: empty lines
+                    f.write("\n")
+                    nxt += 1
+                prev = i
+            f.write(f"{int(r['nbr'])} ")
+        if prev is not None:
+            f.write("\n")
+            nxt = prev + 1
         while nxt <= n_verts:
             f.write("\n")
             nxt += 1
