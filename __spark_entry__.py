@@ -483,6 +483,17 @@ def q_dedup_sweep(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Fuzzy-dedup cluster assignment: exact + MinHash-LSH pairs closed
+    transitively by connected components — the one-representative-per-
+    duplicate-cluster shape dedup_sweep's pairwise rule can't express
+    (a~b, b~c put a and c in one cluster even when (a,c) never shared a
+    band). cluster_id = min doc_id; singletons cluster to themselves."""
+    from detectingscc_spark.functions.dedup import dedup_clusters
+
+    return dedup_clusters(spark, _docs(spark, sf_dir))
+
+
 def q_embedding_topk(spark, sf_dir):
     from detectingscc_spark.functions.similarity import brute_force_topk
 
@@ -804,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_histogram": q_lang_histogram,
         "ngram_topk": q_ngram_topk,
         "dedup_sweep": q_dedup_sweep,
+        "dedup_clusters": q_dedup_clusters,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
     }
@@ -1069,6 +1081,25 @@ SELECT ex.doc_id,
             WHEN nb.doc_id IS NOT NULL THEN 'near_dup'
             ELSE 'kept' END AS reason
 FROM ex LEFT JOIN nb ON ex.doc_id = nb.doc_id
+"""
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_BANDS},
+h AS (SELECT doc_id, sha256(text) AS s FROM documents),
+ex AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM h a JOIN h b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+pairs AS (SELECT doc_a, doc_b FROM cand UNION SELECT doc_a, doc_b FROM ex),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+lbl AS (
+  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lbl
 """
 
 NEAR_DUP_JACCARD_SQL = f"""
@@ -1533,6 +1564,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": FINGERPRINT_SQL,
         "minhash_pairs": MINHASH_PAIRS_SQL,
         "near_dup_jaccard": NEAR_DUP_JACCARD_SQL,
+        "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "embedding_topk": EMBEDDING_TOPK_SQL,
         "embedding_dups": EMBEDDING_DUPS_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,

@@ -183,3 +183,54 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
         pairs.select("vec_a", "vec_b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def dedup_clusters(
+    spark,
+    docs: DataFrame,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) — fuzzy-dedup cluster
+    assignment: exact-duplicate pairs (same sha256) unioned with
+    MinHash-LSH candidate pairs, closed transitively by weak connected
+    components over the pair graph. cluster_id = the cluster's min
+    doc_id; singletons cluster to themselves with size 1.
+
+    This is the transitive-closure complement to dedup_sweep's pairwise
+    drop rule: a~b and b~c put a and c in ONE cluster even when (a,c)
+    never collided in any band — the "one representative per duplicate
+    cluster" shape corpus curation pipelines need when near-dup chains
+    are longer than a single hop.
+
+    100 TB shape: exact groups contribute STAR edges (each member to the
+    group's min id), so the edge count stays linear in docs even for a
+    million-copy boilerplate page — never the O(group^2) pair explosion;
+    LSH banding bounds near-dup pairs at O(docs x bands); the CC phase is
+    hash-min + pointer jumping, O(log diameter) supersteps
+    (operators/components.py).
+    """
+    from ..operators.components import connected_components
+
+    h = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("s"))
+    keeper = h.groupBy("s").agg(F.min("doc_id").alias("keeper"))
+    exact = (
+        h.join(keeper, "s")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select(F.col("keeper").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    near = minhash_lsh_pairs(docs, num_hashes, bands, shingle, stride).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(
+        spark, exact.unionByName(near), docs.select(F.col("doc_id").alias("id"))
+    )
+    sizes = cc.groupBy("cc_id").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "cc_id").select(
+        F.col("id").alias("doc_id"),
+        F.col("cc_id").alias("cluster_id"),
+        "cluster_size",
+    )

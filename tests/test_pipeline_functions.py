@@ -346,3 +346,48 @@ def test_ppm_decoder_handles_comments_and_wav_skips_unknown_chunks(spark):
     spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
     g = _decode_wav(spliced, 16)
     assert g[1] == 44100.0 and g[2] == 2.0
+
+
+def test_dedup_clusters_transitive_closure(spark, docs):
+    """dedup_clusters == union-find over the very pair graph it builds
+    (exact sha groups star-joined to their min id + MinHash-LSH candidate
+    pairs): every doc gets the cluster's min doc_id as cluster_id, sizes
+    count members, singletons self-cluster. The planted fixture guarantees
+    both exact (+100000 ids) and near (+200000 ids) edges exist."""
+    from detectingscc_spark.functions.dedup import dedup_clusters, minhash_lsh_pairs
+
+    got = {r.doc_id: (r.cluster_id, r.cluster_size) for r in dedup_clusters(spark, docs).collect()}
+
+    sha_pairs = [
+        (r.keeper, r.doc_id)
+        for r in (
+            docs.select("doc_id", F.sha2("text", 256).alias("s"))
+            .withColumn("keeper", F.min("doc_id").over(__import__("pyspark").sql.Window.partitionBy("s")))
+            .where(F.col("doc_id") != F.col("keeper"))
+            .collect()
+        )
+    ]
+    near_pairs = [(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()]
+    assert sha_pairs and near_pairs  # fixture really plants both kinds
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    all_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    for i in all_ids:
+        find(i)
+    for a, b in sha_pairs + near_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    roots = {i: find(i) for i in all_ids}
+    sizes = Counter(roots.values())
+    want = {i: (roots[i], sizes[roots[i]]) for i in all_ids}
+    assert got == want
