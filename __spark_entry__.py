@@ -460,6 +460,39 @@ def q_ngram_topk(spark, sf_dir):
     return top.select("gram", "n", F.row_number().over(w).alias("rank"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filter signals (dup-word fraction, top
+    bigram mass) per document — the standard pre-training repetition
+    gate. Codegen word stats + one bounded explode/agg keyed by doc_id."""
+    from detectingscc_spark.functions.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic sha-nibble sampling audited per language stratum:
+    the reproducible (seed-free, partitioning-free) subsampling step of a
+    corpus curation run, with the realised per-stratum rates a pipeline
+    persists next to the sample."""
+    from detectingscc_spark.functions.sampling import stratified_sample_stats
+
+    return stratified_sample_stats(_docs(spark, sf_dir), "lang", rate_16ths=2)
+
+
+BM25_TERMS = ("query", "join", "hash")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Top-15 BM25 hits for a fixed term bag — the lexical-retrieval
+    primitive of an eval-set decontamination scan. Corpus stats and the
+    |terms|-row df frame are broadcast; the only data-sized shuffle is
+    the map-side-partial (doc_id, term) tf agg; top-k is a
+    TakeOrderedAndProject."""
+    from detectingscc_spark.functions.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=15)
+
+
 def q_dedup_sweep(spark, sf_dir):
     """End-to-end dedup keep-list: exact sha256 dedup THEN MinHash-LSH
     near-dup removal (the drop-doc_b rule — every candidate pair's higher
@@ -814,6 +847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "lang_histogram": q_lang_histogram,
         "ngram_topk": q_ngram_topk,
+        "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
+        "bm25_topk": q_bm25_topk,
         "dedup_sweep": q_dedup_sweep,
         "dedup_clusters": q_dedup_clusters,
         "events_hourly": q_events_hourly,
@@ -1067,6 +1103,67 @@ ranked AS (
   SELECT gram, n, row_number() OVER (ORDER BY n DESC, gram ASC) AS rank FROM counted
 )
 SELECT gram, n, rank FROM ranked WHERE rank <= 20
+"""
+
+REPETITION_STATS_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+base AS (
+  SELECT doc_id, len(ws)::BIGINT AS n_words,
+         len(list_distinct(ws))::BIGINT AS n_distinct
+  FROM w
+),
+bgrams AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+),
+bg AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS total_bg
+  FROM (SELECT doc_id, g, count(*) AS c FROM bgrams GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words,
+       round(1.0 - b.n_distinct / CAST(b.n_words AS DOUBLE), 6) AS dup_word_frac,
+       round(coalesce(bg.top_c / CAST(bg.total_bg AS DOUBLE), 0.0), 6) AS top_bigram_frac
+FROM base b LEFT JOIN bg USING (doc_id)
+"""
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT lang AS stratum, count(*)::BIGINT AS total,
+       sum(CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1)
+                IN ('0', '1') THEN 1 ELSE 0 END)::BIGINT AS sampled,
+       round(sum(CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0', '1') THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS rate
+FROM documents GROUP BY lang
+"""
+
+# float literals (2.2 = k1+1, 0.25 = 1-b, 1.2 = k1, 0.75 = b) mirror
+# detectingscc_spark/functions/retrieval.py verbatim
+BM25_TOPK_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+  WHERE term IN ('query', 'join', 'hash')
+  GROUP BY doc_id, term
+),
+dfp AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((stats.n_docs - dfp.df + 0.5) / (dfp.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN dfp USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 15
 """
 
 DEDUP_SWEEP_SQL = f"""
@@ -1587,5 +1684,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": QUALITY_FILTER_SQL,
         "lang_histogram": LANG_HISTOGRAM_SQL,
         "ngram_topk": NGRAM_TOPK_SQL,
+        "repetition_stats": REPETITION_STATS_SQL,
+        "stratified_sample": STRATIFIED_SAMPLE_SQL,
+        "bm25_topk": BM25_TOPK_SQL,
         "dedup_sweep": DEDUP_SWEEP_SQL,
     }

@@ -110,3 +110,50 @@ def fingerprint(docs: DataFrame, shingle: int = 8, stride: int = 4) -> DataFrame
             f" i -> sha2(substring(text, i, {shingle}), 256)))"
         ).alias("fp"),
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, dup_word_frac, top_bigram_frac) — Gopher-style
+    repetition signals (Rae et al. 2021 §A1.1: fraction of duplicated
+    words / fraction of tokens in the most common n-gram), the standard
+    pre-training repetition filter.
+
+    100 TB shape: the word-level stats are pure codegen arithmetic on the
+    text column (no shuffle); the bigram mode needs one explode + two
+    map-side-partial hash aggs keyed by doc_id — the explode fan-out is
+    bounded by document length and the agg key (doc_id) is the natural
+    partitioner, so no skew beyond the longest single document.
+    """
+    w = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+    )
+    # guard: sequence(1, 0) would step BACKWARDS in Spark, so gate on
+    # size >= 2 instead of relying on an empty sequence
+    grams = F.when(
+        F.size(w) >= 2,
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> concat(element_at(split(text, ' '), i), ' ',"
+            " element_at(split(text, ' '), i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_bg"))
+    )
+    return base.join(bg, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6
+        ).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(F.col("top_c") / F.col("total_bg"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )

@@ -391,3 +391,68 @@ def test_dedup_clusters_transitive_closure(spark, docs):
     sizes = Counter(roots.values())
     want = {i: (roots[i], sizes[roots[i]]) for i in all_ids}
     assert got == want
+
+
+# ---- repetition / sampling / retrieval (round-6 pipeline additions) ----
+
+
+def test_repetition_stats_known_values(spark):
+    from detectingscc_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c"), (3, "x")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["n_words"] == 4
+    assert rows[1]["dup_word_frac"] == 0.75
+    assert rows[1]["top_bigram_frac"] == 1.0  # "a a" is every bigram
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] == 0.5  # "a b" / "b c" tie at 1 of 2
+    assert rows[3]["n_words"] == 1
+    assert rows[3]["dup_word_frac"] == 0.0
+    assert rows[3]["top_bigram_frac"] == 0.0  # no bigrams: left-join null path
+
+
+def test_bm25_ranks_term_density(spark):
+    from detectingscc_spark.functions.retrieval import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "query query query pad pad"),
+            (2, "query pad pad pad pad"),
+            (3, "pad pad pad pad pad"),
+            (4, "join query pad pad pad"),
+        ],
+        ["doc_id", "text"],
+    )
+    scores = {r["doc_id"]: r["score"] for r in bm25_scores(df, ["query", "join"]).collect()}
+    assert 3 not in scores  # no query term -> no row
+    assert scores[1] > scores[2]  # higher tf wins at equal dl
+    # two distinct terms beat one: doc 4 matches the rarer "join" too
+    assert scores[4] > scores[2]
+    assert all(s > 0 for s in scores.values())
+
+
+def test_stratified_sample_deterministic_and_consistent(spark, docs):
+    from detectingscc_spark.functions.sampling import (
+        deterministic_keep,
+        stratified_sample_stats,
+    )
+
+    a = sorted(map(tuple, stratified_sample_stats(docs).collect()))
+    b = sorted(map(tuple, stratified_sample_stats(docs).collect()))
+    assert a == b  # pure function of doc_id: no seed, no partitioning effect
+    totals = {r[0]: r[1] for r in a}
+    expected = {
+        r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert totals == expected
+    n_total = sum(r[1] for r in a)
+    n_sampled = sum(r[2] for r in a)
+    # 2/16 nominal rate; loose binomial bound at this fixture size
+    assert 0.04 < n_sampled / n_total < 0.22
+    # the predicate itself agrees with the reported counts
+    direct = docs.where(deterministic_keep(F.col("doc_id"), 2)).count()
+    assert direct == n_sampled
+    with pytest.raises(ValueError):
+        deterministic_keep(F.col("doc_id"), 0)
