@@ -493,6 +493,20 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=15)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination scan: which training docs share a word
+    trigram with the (deterministic doc_id % 97) eval slice. Eval side
+    broadcast; corpus side one shingle explode + distinct. (Real runs
+    use 8-13-grams; the synthetic fixture's short shuffled-vocab docs
+    need n=3 for a discriminative result set — 171 hits at sf0.01.)"""
+    from detectingscc_spark.functions.retrieval import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(train, ev, n=3)
+
+
 def q_dedup_sweep(spark, sf_dir):
     """End-to-end dedup keep-list: exact sha256 dedup THEN MinHash-LSH
     near-dup removal (the drop-doc_b rule — every candidate pair's higher
@@ -850,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
         "bm25_topk": q_bm25_topk,
+        "decontaminate": q_decontaminate,
         "dedup_sweep": q_dedup_sweep,
         "dedup_clusters": q_dedup_clusters,
         "events_hourly": q_events_hourly,
@@ -1164,6 +1179,22 @@ scored AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+DECONTAMINATE_SQL = """
+WITH tr AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            WHERE doc_id % 97 <> 0),
+ev AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       WHERE doc_id % 97 = 0),
+tg AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+       FROM tr, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+       WHERE len(ws) >= 3),
+eg AS (SELECT DISTINCT doc_id AS eval_id, array_to_string(ws[i:i+2], ' ') AS g
+       FROM ev, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+       WHERE len(ws) >= 3)
+SELECT tg.doc_id, count(DISTINCT eg.eval_id)::BIGINT AS n_eval_docs,
+       count(DISTINCT tg.g)::BIGINT AS n_shared_ngrams
+FROM tg JOIN eg USING (g) GROUP BY tg.doc_id
 """
 
 DEDUP_SWEEP_SQL = f"""
@@ -1687,5 +1718,6 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": REPETITION_STATS_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "bm25_topk": BM25_TOPK_SQL,
+        "decontaminate": DECONTAMINATE_SQL,
         "dedup_sweep": DEDUP_SWEEP_SQL,
     }

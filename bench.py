@@ -144,6 +144,7 @@ def main():
     # ---- pipeline + relational layer on the sf dir --------------------
     for qname in ("minhash_pairs", "embedding_topk", "exact_dedup", "text_stats",
                   "repetition_stats", "bm25_topk", "stratified_sample",
+                  "decontaminate",
                   "pricing_summary", "top_orders", "degrees", "sessionize"):
         fn = entry.queries()[qname]
         timed_median(qname, lambda fn=fn: fn(spark, SF_DIR).count())

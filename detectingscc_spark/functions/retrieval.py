@@ -75,3 +75,45 @@ def bm25_topk(docs: DataFrame, terms: Sequence[str], k: int = 15) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def ngram_contamination(
+    docs: DataFrame, eval_docs: DataFrame, n: int = 5
+) -> DataFrame:
+    """(doc_id, n_eval_docs, n_shared_ngrams) — training documents that
+    share at least one word n-gram with any eval document: the standard
+    eval-set decontamination scan (per GPT-3/PaLM contamination
+    methodology: 13-gram/8-gram overlap; n is a parameter here because
+    the synthetic fixture corpus has short docs).
+
+    100 TB shape: both sides shingle via codegen transform + explode;
+    the join key is the n-gram itself (hashing it is the engine's job —
+    Spark hashes join keys anyway, so no manual pre-hash); the eval side
+    of a decontamination run is tiny relative to the corpus, so Catalyst
+    broadcasts it (hinted). Distinct-ngram dedup per side keeps the join
+    multiplicity at (#docs containing g) x (#eval docs containing g)
+    per shared gram, aggregated map-side-partial.
+    """
+    def shingles(df: DataFrame, out: str) -> DataFrame:
+        w = F.split(F.col("text"), " ")
+        grams = F.when(
+            F.size(w) >= n,
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+                f" i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(
+            F.col("doc_id").alias(out), F.explode(grams).alias("g")
+        ).distinct()
+
+    train = shingles(docs, "doc_id")
+    ev = shingles(eval_docs, "eval_id")
+    return (
+        train.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.countDistinct("g").alias("n_shared_ngrams"),
+        )
+    )

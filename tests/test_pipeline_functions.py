@@ -456,3 +456,23 @@ def test_stratified_sample_deterministic_and_consistent(spark, docs):
     assert direct == n_sampled
     with pytest.raises(ValueError):
         deterministic_keep(F.col("doc_id"), 0)
+
+
+def test_ngram_contamination_planted(spark):
+    from detectingscc_spark.functions.retrieval import ngram_contamination
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "xx alpha beta gamma yy"),   # shares trigram "alpha beta gamma"
+            (2, "beta alpha gamma delta-x"), # same words, no shared trigram
+            (3, "zz"),                       # too short for any trigram
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in ngram_contamination(train, ev, n=3).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_eval_docs"] == 1
+    assert rows[1]["n_shared_ngrams"] == 1
