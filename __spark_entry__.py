@@ -157,6 +157,15 @@ def q_triangle_per_vertex(spark, sf_dir):
     return triangle_count_per_vertex(spark, _edges(spark, sf_dir))
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per vertex (undirected simple graph;
+    degree-oriented triangle machinery + one join of exact-int
+    arithmetic)."""
+    from detectingscc_spark.operators.triangles import clustering_coefficient
+
+    return clustering_coefficient(spark, _edges(spark, sf_dir))
+
+
 def q_pagerank(spark, sf_dir):
     from detectingscc_spark.operators.pagerank import pagerank
 
@@ -832,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim1_round1": q_trim1_round1,
         "triangle_total": q_triangle_total,
         "triangle_per_vertex": q_triangle_per_vertex,
+        "clustering_coeff": q_clustering_coeff,
         "pagerank": q_pagerank,
         "lpa": q_lpa,
         "ppr": q_ppr,
@@ -983,6 +993,24 @@ credit AS (
 )
 SELECT verts.id, coalesce(credit.triangles, 0) AS triangles
 FROM verts LEFT JOIN credit ON verts.id = credit.id
+"""
+
+CLUSTERING_COEFF_SQL = f"""
+WITH {_TRI_ORIENT},
+d2 AS (SELECT id, count(*) AS deg FROM (
+         SELECT a AS id FROM und UNION ALL SELECT b FROM und
+       ) GROUP BY id),
+credit AS (
+  SELECT id, count(*) AS triangles FROM (
+    SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
+  ) GROUP BY id
+)
+SELECT d2.id, d2.deg::BIGINT AS deg,
+       CASE WHEN d2.deg >= 2
+            THEN round(2.0 * coalesce(credit.triangles, 0)
+                       / (d2.deg * (d2.deg - 1)), 6)
+            ELSE 0.0 END AS cc
+FROM d2 LEFT JOIN credit ON d2.id = credit.id
 """
 
 PRICING_SUMMARY_SQL = """
@@ -1683,6 +1711,7 @@ def oracle_sql() -> dict[str, str]:
         "trim1_round1": TRIM1_SQL,
         "triangle_total": TRIANGLE_TOTAL_SQL,
         "triangle_per_vertex": TRIANGLE_PER_VERTEX_SQL,
+        "clustering_coeff": CLUSTERING_COEFF_SQL,
         "pricing_summary": PRICING_SUMMARY_SQL,
         "top_orders": TOP_ORDERS_SQL,
         "nation_volume": NATION_VOLUME_SQL,

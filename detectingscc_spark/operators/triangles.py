@@ -84,3 +84,37 @@ def triangle_count_per_vertex(spark: SparkSession, edges: DataFrame) -> DataFram
     return verts.join(credits, "id", "left").select(
         "id", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
     )
+
+
+def clustering_coefficient(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """(id, deg, cc) — local clustering coefficient over the undirected
+    simple graph: cc = 2*t / (deg*(deg-1)), 0 when deg < 2. Universe =
+    vertices with >= 1 non-loop undirected edge (degree is undefined for
+    self-loop-only vertices).
+
+    Reuses the degree-oriented triangle machinery, so the expensive part
+    (the wedge join) keeps its skew mitigation; the coefficient itself is
+    one join + codegen arithmetic on exact integers (rounded to 6
+    decimals for engine-portable comparison).
+    """
+    und, _ = _oriented(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    tpv = triangle_count_per_vertex(spark, edges)
+    return tpv.join(deg, "id").select(
+        "id",
+        "deg",
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cc"),
+    )

@@ -157,3 +157,19 @@ def test_ppr_isolated_source_no_mass_leak(spark, g128):
     b = {r["id"]: r["rank"] for r in clean.collect()}
     assert a.keys() == b.keys()
     assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+
+def test_clustering_coefficient_known_graph(spark):
+    from detectingscc_spark.operators.triangles import clustering_coefficient
+
+    # triangle 1-2-3 plus a pendant 4-1 (directed reps; operator
+    # canonicalizes to undirected)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (4, 4)], ["src", "dst"]
+    )
+    rows = {r["id"]: r for r in clustering_coefficient(spark, edges).collect()}
+    assert set(rows) == {1, 2, 3, 4}  # self-loop-only vertices excluded
+    assert rows[1]["deg"] == 3 and rows[1]["cc"] == round(2 / 6, 6)
+    assert rows[2]["deg"] == 2 and rows[2]["cc"] == 1.0
+    assert rows[3]["cc"] == 1.0
+    assert rows[4]["deg"] == 1 and rows[4]["cc"] == 0.0
