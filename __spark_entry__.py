@@ -166,6 +166,14 @@ def q_clustering_coeff(spark, sf_dir):
     return clustering_coefficient(spark, _edges(spark, sf_dir))
 
 
+def q_assortativity(spark, sf_dir):
+    """Pearson degree assortativity (Newman 2002) — exact integer sums,
+    one final double division."""
+    from detectingscc_spark.operators.triangles import degree_assortativity
+
+    return degree_assortativity(spark, _edges(spark, sf_dir))
+
+
 def q_pagerank(spark, sf_dir):
     from detectingscc_spark.operators.pagerank import pagerank
 
@@ -842,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_total": q_triangle_total,
         "triangle_per_vertex": q_triangle_per_vertex,
         "clustering_coeff": q_clustering_coeff,
+        "assortativity": q_assortativity,
         "pagerank": q_pagerank,
         "lpa": q_lpa,
         "ppr": q_ppr,
@@ -1011,6 +1020,23 @@ SELECT d2.id, d2.deg::BIGINT AS deg,
                        / (d2.deg * (d2.deg - 1)), 6)
             ELSE 0.0 END AS cc
 FROM d2 LEFT JOIN credit ON d2.id = credit.id
+"""
+
+ASSORTATIVITY_SQL = f"""
+WITH {_E},
+und AS (SELECT least(src,dst) AS a, greatest(src,dst) AS b FROM e
+        WHERE src <> dst GROUP BY 1,2),
+deg AS (SELECT id, count(*) AS d FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY id),
+pairs AS (SELECT da.d AS dx, db.d AS dy FROM und
+          JOIN deg da ON und.a = da.id JOIN deg db ON und.b = db.id),
+sym AS (SELECT dx, dy FROM pairs UNION ALL SELECT dy, dx FROM pairs),
+s AS (SELECT count(*)::HUGEINT AS n, sum(dx::HUGEINT) AS sx,
+             sum((dx*dy)::HUGEINT) AS sxy, sum((dx*dx)::HUGEINT) AS sxx
+      FROM sym)
+SELECT round(CAST(n*sxy - sx*sx AS DOUBLE)
+             / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS assortativity FROM s
 """
 
 PRICING_SUMMARY_SQL = """
@@ -1712,6 +1738,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_total": TRIANGLE_TOTAL_SQL,
         "triangle_per_vertex": TRIANGLE_PER_VERTEX_SQL,
         "clustering_coeff": CLUSTERING_COEFF_SQL,
+        "assortativity": ASSORTATIVITY_SQL,
         "pricing_summary": PRICING_SUMMARY_SQL,
         "top_orders": TOP_ORDERS_SQL,
         "nation_volume": NATION_VOLUME_SQL,

@@ -118,3 +118,40 @@ def clustering_coefficient(spark: SparkSession, edges: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("cc"),
     )
+
+
+def degree_assortativity(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Single-row (assortativity) — Pearson degree assortativity of the
+    undirected simple graph (Newman 2002): corr of (deg(a), deg(b)) over
+    symmetrized edge endpoint pairs.
+
+    Numerics: with symmetrized pairs the x/y marginals coincide, so
+    r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2) — every term an EXACT integer
+    sum (decimal(38,0): no float accumulation order to disagree with
+    another engine), one double division + round(6) at the end. Null if
+    the graph is degree-regular (zero variance). One shuffle for the
+    degree agg, one for the edge-degree join, one scalar agg.
+    """
+    und, _ = _oriented(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("dy"))
+    pairs = und.join(da, "a").join(db, "b")
+    sym = pairs.select("dx", "dy").unionAll(
+        pairs.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    d38 = "decimal(38,0)"
+    agg = sym.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("dx").cast(d38)).alias("sx"),
+        F.sum((F.col("dx") * F.col("dy")).cast(d38)).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(d38)).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return agg.select(F.round(num / den, 6).alias("assortativity"))

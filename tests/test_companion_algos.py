@@ -173,3 +173,29 @@ def test_clustering_coefficient_known_graph(spark):
     assert rows[2]["deg"] == 2 and rows[2]["cc"] == 1.0
     assert rows[3]["cc"] == 1.0
     assert rows[4]["deg"] == 1 and rows[4]["cc"] == 0.0
+
+
+def test_degree_assortativity_vs_numpy(spark):
+    from detectingscc_spark.operators.triangles import degree_assortativity
+
+    # star S4 is maximally disassortative: r = -1
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], ["src", "dst"]
+    )
+    assert degree_assortativity(spark, star).collect()[0][0] == -1.0
+
+    # mixed graph: compare against numpy corrcoef on symmetrized pairs
+    es = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (2, 5)]
+    g = spark.createDataFrame(es, ["src", "dst"])
+    got = degree_assortativity(spark, g).collect()[0][0]
+    from collections import Counter
+
+    und = {tuple(sorted(e)) for e in es}
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    xs = [deg[a] for a, b in und] + [deg[b] for a, b in und]
+    ys = [deg[b] for a, b in und] + [deg[a] for a, b in und]
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    assert abs(got - round(want, 6)) < 2e-6
