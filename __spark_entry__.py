@@ -174,6 +174,24 @@ def q_assortativity(spark, sf_dir):
     return degree_assortativity(spark, _edges(spark, sf_dir))
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities, 10 L1-normalized sync iterations (unrolled
+    CTE oracle mirroring the arithmetic op-for-op; round(8) absorbs
+    double-sum reordering — the proven pagerank-oracle pattern)."""
+    from detectingscc_spark.operators.hits import hits
+
+    e = _edges(spark, sf_dir)
+    v = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    res = hits(spark, e, v, iters=10)
+    return res.select(
+        "id",
+        F.round("auth", 8).alias("auth8"),
+        F.round("hub", 8).alias("hub8"),
+    )
+
+
 def q_pagerank(spark, sf_dir):
     from detectingscc_spark.operators.pagerank import pagerank
 
@@ -851,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_per_vertex": q_triangle_per_vertex,
         "clustering_coeff": q_clustering_coeff,
         "assortativity": q_assortativity,
+        "hits": q_hits,
         "pagerank": q_pagerank,
         "lpa": q_lpa,
         "ppr": q_ppr,
@@ -1403,6 +1422,49 @@ SELECT id, round(rank, 8) AS rank8 FROM {prev}
 PAGERANK_SQL = _pagerank_sql(iters=20, damping=0.85)
 
 
+def _hits_sql(iters: int = 10) -> str:
+    """HITS unrolled as chained CTEs — mirrors operators/hits.py
+    expression by expression (raw push sum, L1 total, coalesce-0 over
+    the vertex universe), so doubles agree modulo sum reordering (final
+    round to 8dp absorbs that)."""
+    steps = []
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""ar{k} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(h.s) AS raw FROM e JOIN {prev_h} h ON e.src = h.id
+  GROUP BY e.dst
+),
+a{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(ar.raw, 0.0::DOUBLE) / t.t AS s
+  FROM v LEFT JOIN ar{k} ar ON v.id = ar.id
+  CROSS JOIN (SELECT sum(raw) AS t FROM ar{k}) t
+),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS id, sum(a.s) AS raw FROM e JOIN a{k} a ON e.dst = a.id
+  GROUP BY e.src
+),
+h{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(hr.raw, 0.0::DOUBLE) / t.t AS s
+  FROM v LEFT JOIN hr{k} hr ON v.id = hr.id
+  CROSS JOIN (SELECT sum(raw) AS t FROM hr{k}) t
+)"""
+        )
+        prev_h = f"h{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_E}, {_VERTS},
+nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+h0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS s FROM v),
+{chain}
+SELECT a{iters}.id, round(a{iters}.s, 8) AS auth8, round(h{iters}.s, 8) AS hub8
+FROM a{iters} JOIN h{iters} ON a{iters}.id = h{iters}.id
+"""
+
+
+HITS_SQL = _hits_sql(iters=10)
+
+
 def _ppr_sql(iters: int = 10, damping: float = 0.85, mod: int = 50) -> str:
     """Personalized PageRank unrolled — mirrors
     operators/pagerank.py::personalized_pagerank expression by expression:
@@ -1754,6 +1816,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": EVENTS_HOURLY_SQL,
         "sessionize": SESSIONIZE_SQL,
         "pagerank": PAGERANK_SQL,
+        "hits": HITS_SQL,
         "lpa": LPA_SQL,
         "ppr": PPR_SQL,
         "kcore3": KCORE_SQL,

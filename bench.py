@@ -141,6 +141,16 @@ def main():
     timed_median("lpa_5r", lambda: label_propagation(spark, edges, verts.select("id"), rounds=5).count())
     timed_median("triangles", lambda: triangle_count(spark, edges))
 
+    from detectingscc_spark.operators.hits import hits
+    from detectingscc_spark.operators.triangles import (
+        clustering_coefficient,
+        degree_assortativity,
+    )
+
+    timed_median("hits_10it", lambda: hits(spark, edges, verts.select("id"), iters=10).count())
+    timed_median("clustering_coeff", lambda: clustering_coefficient(spark, edges).count())
+    timed_median("assortativity", lambda: degree_assortativity(spark, edges).count(), expect=1)
+
     # ---- pipeline + relational layer on the sf dir --------------------
     for qname in ("minhash_pairs", "embedding_topk", "exact_dedup", "text_stats",
                   "repetition_stats", "bm25_topk", "stratified_sample",

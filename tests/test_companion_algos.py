@@ -199,3 +199,28 @@ def test_degree_assortativity_vs_numpy(spark):
     ys = [deg[b] for a, b in und] + [deg[a] for a, b in und]
     want = float(np.corrcoef(xs, ys)[0, 1])
     assert abs(got - round(want, 6)) < 2e-6
+
+
+def test_hits_vs_numpy(spark):
+    from detectingscc_spark.operators.hits import hits
+
+    es = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 1), (2, 2)]
+    g = spark.createDataFrame(es, ["src", "dst"])
+    ids = sorted({x for e in es for x in e})
+    v = spark.createDataFrame([(i,) for i in ids], ["id"])
+    got = {r["id"]: (r["auth"], r["hub"]) for r in hits(spark, g, v, iters=10).collect()}
+
+    idx = {x: i for i, x in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for s, d in es:
+        A[idx[s], idx[d]] += 1.0  # duplicate edges keep multiplicity
+    h = np.full(n, 1.0 / n)
+    for _ in range(10):
+        a = A.T @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    for x in ids:
+        assert abs(got[x][0] - a[idx[x]]) < 1e-9
+        assert abs(got[x][1] - h[idx[x]]) < 1e-9
