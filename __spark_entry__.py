@@ -174,6 +174,23 @@ def q_assortativity(spark, sf_dir):
     return degree_assortativity(spark, _edges(spark, sf_dir))
 
 
+def q_edge_support(spark, sf_dir):
+    """Per-edge triangle support over the undirected simple view —
+    exact integers (the k-truss building block)."""
+    from detectingscc_spark.operators.truss import edge_support
+
+    return edge_support(spark, _edges(spark, sf_dir))
+
+
+def q_ktruss4(spark, sf_dir):
+    """4-truss surviving edges after a fixed 6-round peel (the depth the
+    DuckDB oracle unrolls; the fixpoint is unique, and a separate test
+    pins fixed-rounds == fixpoint on a cascading fixture)."""
+    from detectingscc_spark.operators.truss import ktruss
+
+    return ktruss(spark, _edges(spark, sf_dir), k=4, rounds=6)
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs/authorities, 10 L1-normalized sync iterations (unrolled
     CTE oracle mirroring the arithmetic op-for-op; round(8) absorbs
@@ -869,6 +886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_per_vertex": q_triangle_per_vertex,
         "clustering_coeff": q_clustering_coeff,
         "assortativity": q_assortativity,
+        "edge_support": q_edge_support,
+        "ktruss4": q_ktruss4,
         "hits": q_hits,
         "pagerank": q_pagerank,
         "lpa": q_lpa,
@@ -1010,6 +1029,73 @@ tri AS (
 """
 
 TRIANGLE_TOTAL_SQL = f"WITH {_TRI_ORIENT} SELECT count(*) AS triangles FROM tri"
+
+# Per-edge triangle support: id-ordered triangle enumeration (x<y<z) on
+# the canonical undirected edge set — same triangle multiset as the
+# engine's degree-oriented enumeration (orientation changes join cost,
+# not which triangles exist), all-integer so the hash compare is exact.
+_SUPPORT_BODY = """
+tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {src} e1 JOIN {src} e2 ON e2.a = e1.b
+  JOIN {src} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+cr AS (
+  SELECT x AS a, y AS b FROM tri
+  UNION ALL SELECT x, z FROM tri
+  UNION ALL SELECT y, z FROM tri
+),
+sup AS (SELECT a, b, count(*) AS s FROM cr GROUP BY a, b)
+"""
+
+EDGE_SUPPORT_SQL = f"""
+WITH {_E},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst),
+{_SUPPORT_BODY.format(src="und").strip()}
+SELECT und.a, und.b, coalesce(sup.s, 0) AS support
+FROM und LEFT JOIN sup ON und.a = sup.a AND und.b = sup.b
+"""
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 6) -> str:
+    """k-truss peeling unrolled as `rounds` (support, survivor) CTE
+    pairs — mirrors operators/truss.py round by round. All-integer:
+    exact."""
+    steps = []
+    prev = "u0"
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""tri{r} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {prev} e1 JOIN {prev} e2 ON e2.a = e1.b
+  JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+sup{r} AS MATERIALIZED (
+  SELECT a, b, count(*) AS s FROM (
+    SELECT x AS a, y AS b FROM tri{r}
+    UNION ALL SELECT x, z FROM tri{r}
+    UNION ALL SELECT y, z FROM tri{r}
+  ) cr GROUP BY a, b
+),
+u{r} AS MATERIALIZED (
+  SELECT a, b FROM sup{r} WHERE s >= {k - 2}
+)"""
+        )
+        prev = f"u{r}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_E},
+u0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst),
+{chain}
+SELECT a, b FROM {prev}
+"""
+
+
+KTRUSS_SQL = _ktruss_sql(k=4, rounds=6)
 
 TRIANGLE_PER_VERTEX_SQL = f"""
 WITH {_TRI_ORIENT},
@@ -1816,6 +1902,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": EVENTS_HOURLY_SQL,
         "sessionize": SESSIONIZE_SQL,
         "pagerank": PAGERANK_SQL,
+        "edge_support": EDGE_SUPPORT_SQL,
+        "ktruss4": KTRUSS_SQL,
         "hits": HITS_SQL,
         "lpa": LPA_SQL,
         "ppr": PPR_SQL,

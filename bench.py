@@ -147,6 +147,12 @@ def main():
         degree_assortativity,
     )
 
+    from detectingscc_spark.operators.truss import edge_support
+
+    # edge_support is the per-round kernel of the k-truss peel; timing it
+    # (not the 6-round peel) keeps the suite bounded while covering the
+    # truss tier's cost driver.
+    timed_median("edge_support", lambda: edge_support(spark, edges).count())
     timed_median("hits_10it", lambda: hits(spark, edges, verts.select("id"), iters=10).count())
     timed_median("clustering_coeff", lambda: clustering_coefficient(spark, edges).count())
     timed_median("assortativity", lambda: degree_assortativity(spark, edges).count(), expect=1)

@@ -224,3 +224,54 @@ def test_hits_vs_numpy(spark):
     for x in ids:
         assert abs(got[x][0] - a[idx[x]]) < 1e-9
         assert abs(got[x][1] - h[idx[x]]) < 1e-9
+
+
+def _naive_support(und):
+    """und: set of (a,b) with a<b. Returns {(a,b): n_triangles}."""
+    nbr = {}
+    for a, b in und:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    return {(a, b): len(nbr[a] & nbr[b]) for a, b in und}
+
+
+def _naive_ktruss(und, k):
+    und = set(und)
+    while True:
+        sup = _naive_support(und)
+        keep = {e for e in und if sup[e] >= k - 2}
+        if keep == und:
+            return und
+        und = keep
+
+
+def test_edge_support_vs_naive(spark, g128):
+    from detectingscc_spark.operators.truss import edge_support
+
+    edges, erows, v = g128
+    und = {(min(a, b), max(a, b)) for a, b in erows if a != b}
+    got = {(r["a"], r["b"]): r["support"] for r in edge_support(spark, edges).collect()}
+    assert got == _naive_support(und)
+
+
+def test_ktruss_vs_naive(spark, g128):
+    from detectingscc_spark.operators.truss import ktruss
+
+    edges, erows, v = g128
+    und = {(min(a, b), max(a, b)) for a, b in erows if a != b}
+    for k in (3, 4):
+        got = {(r["a"], r["b"]) for r in ktruss(spark, edges, k=k).collect()}
+        assert got == _naive_ktruss(und, k), f"k={k}"
+
+
+def test_ktruss_fixed_rounds_matches_fixpoint(spark):
+    """The oracle runs a fixed unroll depth; any depth >= convergence
+    yields the unique fixpoint. Use a chain of triangles sharing edges so
+    peeling actually cascades across rounds."""
+    from detectingscc_spark.operators.truss import ktruss
+
+    es = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (4, 5), (5, 6), (4, 6), (6, 7)]
+    g = spark.createDataFrame(es, ["src", "dst"])
+    fix = {(r["a"], r["b"]) for r in ktruss(spark, g, k=4).collect()}
+    fixed = {(r["a"], r["b"]) for r in ktruss(spark, g, k=4, rounds=6).collect()}
+    assert fix == fixed == _naive_ktruss({(min(a, b), max(a, b)) for a, b in es}, 4)
