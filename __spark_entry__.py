@@ -191,6 +191,15 @@ def q_ktruss4(spark, sf_dir):
     return ktruss(spark, _edges(spark, sf_dir), k=4, rounds=6)
 
 
+def q_link_prediction(spark, sf_dir):
+    """Top-20 predicted links by common-neighbor count (Jaccard +
+    Adamic-Adar ride along, rounded 6dp); all-integer deterministic
+    ranking so the cut is engine-portable."""
+    from detectingscc_spark.operators.linkpred import link_prediction
+
+    return link_prediction(spark, _edges(spark, sf_dir), top_k=20)
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs/authorities, 10 L1-normalized sync iterations (unrolled
     CTE oracle mirroring the arithmetic op-for-op; round(8) absorbs
@@ -888,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "edge_support": q_edge_support,
         "ktruss4": q_ktruss4,
+        "link_prediction": q_link_prediction,
         "hits": q_hits,
         "pagerank": q_pagerank,
         "lpa": q_lpa,
@@ -1096,6 +1106,34 @@ SELECT a, b FROM {prev}
 
 
 KTRUSS_SQL = _ktruss_sql(k=4, rounds=6)
+
+# Link prediction: one wedge self-join through shared centers — mirrors
+# operators/linkpred.py (uncapped); all-integer ranking, doubles rounded.
+LINK_PREDICTION_SQL = f"""
+WITH {_E},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst),
+nbrs AS MATERIALIZED (
+  SELECT a AS id, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+deg AS MATERIALIZED (SELECT id, count(*) AS deg FROM nbrs GROUP BY id),
+cand AS MATERIALIZED (
+  SELECT n1.nbr AS a, n2.nbr AS b, count(*) AS common,
+         sum(1.0 / ln(d.deg)) AS aa
+  FROM nbrs n1 JOIN nbrs n2 ON n1.id = n2.id AND n1.nbr < n2.nbr
+  JOIN deg d ON d.id = n1.id
+  GROUP BY n1.nbr, n2.nbr
+),
+nonadj AS (
+  SELECT c.a, c.b, c.common, c.aa
+  FROM cand c ANTI JOIN und ON und.a = c.a AND und.b = c.b
+)
+SELECT na.a, na.b, na.common,
+       round(na.common::DOUBLE / (da.deg + db.deg - na.common), 6) AS jaccard6,
+       round(na.aa, 6) AS adamic_adar6
+FROM nonadj na JOIN deg da ON da.id = na.a JOIN deg db ON db.id = na.b
+ORDER BY na.common DESC, na.a, na.b LIMIT 20
+"""
 
 TRIANGLE_PER_VERTEX_SQL = f"""
 WITH {_TRI_ORIENT},
@@ -1904,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": PAGERANK_SQL,
         "edge_support": EDGE_SUPPORT_SQL,
         "ktruss4": KTRUSS_SQL,
+        "link_prediction": LINK_PREDICTION_SQL,
         "hits": HITS_SQL,
         "lpa": LPA_SQL,
         "ppr": PPR_SQL,

@@ -275,3 +275,59 @@ def test_ktruss_fixed_rounds_matches_fixpoint(spark):
     fix = {(r["a"], r["b"]) for r in ktruss(spark, g, k=4).collect()}
     fixed = {(r["a"], r["b"]) for r in ktruss(spark, g, k=4, rounds=6).collect()}
     assert fix == fixed == _naive_ktruss({(min(a, b), max(a, b)) for a, b in es}, 4)
+
+
+def test_link_prediction_vs_naive(spark, g128):
+    import math
+
+    from detectingscc_spark.operators.linkpred import link_prediction
+
+    edges, erows, v = g128
+    und = {(min(a, b), max(a, b)) for a, b in erows if a != b}
+    nbr = {}
+    for a, b in und:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    scores = {}
+    ids = sorted(nbr)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if (a, b) in und:
+                continue
+            com = nbr[a] & nbr[b]
+            if not com:
+                continue
+            aa = sum(1.0 / math.log(len(nbr[v_])) for v_ in com)
+            jac = len(com) / (len(nbr[a]) + len(nbr[b]) - len(com))
+            scores[(a, b)] = (len(com), round(jac, 6), round(aa, 6))
+    want = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+
+    got = [
+        ((r["a"], r["b"]), (r["common"], r["jaccard6"], r["adamic_adar6"]))
+        for r in link_prediction(spark, edges, top_k=20).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (pk, gv), (_, wv) in zip(got, want):
+        assert gv[0] == wv[0], pk
+        assert abs(gv[1] - wv[1]) < 2e-6, pk
+        assert abs(gv[2] - wv[2]) < 2e-6, pk
+
+
+def test_link_prediction_center_degree_cap(spark):
+    """A hub above the cap stops generating candidate pairs; pairs that
+    only share the hub disappear, pairs with another center survive."""
+    from detectingscc_spark.operators.linkpred import link_prediction
+
+    hub = [(100, i) for i in range(1, 8)]          # deg(100) = 7
+    tri = [(1, 2), (2, 3), (1, 3), (4, 5)]
+    g = spark.createDataFrame(hub + tri, ["src", "dst"])
+    capped = {(r["a"], r["b"]): r["common"]
+              for r in link_prediction(spark, g, top_k=100, max_center_degree=5).collect()}
+    # 4,6 share only the hub -> gone under the cap; 1,4 etc. too
+    assert (4, 6) not in capped
+    # 2 and 3 share neighbor 1 (deg(1)=3 <= 5)? (2,3) is an edge; (1,2) edge...
+    # non-adjacent pair sharing a small center: 4 & 1 share only hub -> gone
+    full = {(r["a"], r["b"]): r["common"]
+            for r in link_prediction(spark, g, top_k=100).collect()}
+    assert (4, 6) in full and full[(4, 6)] == 1
+    assert set(capped) <= set(full)
