@@ -200,6 +200,15 @@ def q_link_prediction(spark, sf_dir):
     return link_prediction(spark, _edges(spark, sf_dir), top_k=20)
 
 
+def q_eigencentrality(spark, sf_dir):
+    """Eigenvector centrality, 10 L1-normalized power iterations over
+    the undirected simple view (unrolled-CTE oracle, HITS pattern)."""
+    from detectingscc_spark.operators.hits import eigencentrality
+
+    res = eigencentrality(spark, _edges(spark, sf_dir), iters=10)
+    return res.select("id", F.round("score", 8).alias("score8"))
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs/authorities, 10 L1-normalized sync iterations (unrolled
     CTE oracle mirroring the arithmetic op-for-op; round(8) absorbs
@@ -898,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_support": q_edge_support,
         "ktruss4": q_ktruss4,
         "link_prediction": q_link_prediction,
+        "eigencentrality": q_eigencentrality,
         "hits": q_hits,
         "pagerank": q_pagerank,
         "lpa": q_lpa,
@@ -1586,6 +1596,43 @@ FROM a{iters} JOIN h{iters} ON a{iters}.id = h{iters}.id
 """
 
 
+def _eigen_sql(iters: int = 10) -> str:
+    """Eigenvector centrality unrolled — mirrors
+    operators/hits.py::eigencentrality expression by expression over the
+    symmetric undirected edge view."""
+    steps = []
+    prev = "x0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT s.w AS id, sum(x.s) AS raw FROM sym s JOIN {prev} x ON s.u = x.id
+  GROUP BY s.w
+),
+x{k} AS MATERIALIZED (
+  SELECT uv.id, coalesce(r.raw, 0.0::DOUBLE) / t.t AS s
+  FROM uv LEFT JOIN r{k} r ON uv.id = r.id
+  CROSS JOIN (SELECT sum(raw) AS t FROM r{k}) t
+)"""
+        )
+        prev = f"x{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_E},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst),
+sym AS MATERIALIZED (SELECT a AS u, b AS w FROM und UNION ALL SELECT b, a FROM und),
+uv AS MATERIALIZED (SELECT a AS id FROM und UNION SELECT b FROM und),
+nn AS (SELECT count(*)::DOUBLE AS n FROM uv),
+x0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS s FROM uv),
+{chain}
+SELECT id, round(s, 8) AS score8 FROM {prev}
+"""
+
+
+EIGEN_SQL = _eigen_sql(iters=10)
+
+
 HITS_SQL = _hits_sql(iters=10)
 
 
@@ -1943,6 +1990,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_support": EDGE_SUPPORT_SQL,
         "ktruss4": KTRUSS_SQL,
         "link_prediction": LINK_PREDICTION_SQL,
+        "eigencentrality": EIGEN_SQL,
         "hits": HITS_SQL,
         "lpa": LPA_SQL,
         "ppr": PPR_SQL,

@@ -75,3 +75,42 @@ def hits(
         .join(hub.withColumnRenamed("s", "hub"), "id")
         .select("id", "auth", "hub")
     )
+
+
+def eigencentrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    iters: int = 10,
+) -> DataFrame:
+    """Eigenvector centrality of the undirected simple view: (id, score)
+    after `iters` L1-normalized power iterations x ← A·x / ‖A·x‖₁ from
+    the uniform start. L1 (not L2) keeps every op a sum/division so the
+    unrolled-CTE DuckDB oracle mirrors it exactly (the HITS pattern —
+    same 100 TB shape: one hash join + one scalar agg per iteration over
+    2-column frames, raw push eagerly checkpointed because both the
+    normalizer and the result read it)."""
+    from .kcore import undirected_edges
+
+    und = undirected_edges(edges)
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    v = und.select(F.col("a").alias("id")).union(und.select(F.col("b").alias("id"))).distinct()
+    n = v.count()
+    x = v.select("id", (F.lit(1.0) / F.lit(float(n))).alias("s"))
+    for k in range(iters):
+        raw = (
+            sym.join(x.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("w").alias("id"))
+            .agg(F.sum("s").alias("raw"))
+        ).localCheckpoint(eager=True)
+        total = raw.agg(F.sum("raw").alias("t"))
+        x = (
+            v.join(raw, "id", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "id",
+                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("t")).alias("s"),
+            )
+        )
+    return x.withColumnRenamed("s", "score")

@@ -331,3 +331,27 @@ def test_link_prediction_center_degree_cap(spark):
             for r in link_prediction(spark, g, top_k=100).collect()}
     assert (4, 6) in full and full[(4, 6)] == 1
     assert set(capped) <= set(full)
+
+
+def test_eigencentrality_vs_numpy(spark):
+    from detectingscc_spark.operators.hits import eigencentrality
+
+    es = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1), (2, 1)]
+    g = spark.createDataFrame(es, ["src", "dst"])
+    got = {r["id"]: r["score"] for r in eigencentrality(spark, g, iters=10).collect()}
+
+    und = {(min(a, b), max(a, b)) for a, b in es if a != b}
+    ids = sorted({x for e in und for x in e})
+    idx = {x: i for i, x in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for a, b in und:
+        A[idx[a], idx[b]] = 1.0
+        A[idx[b], idx[a]] = 1.0
+    x = np.full(n, 1.0 / n)
+    for _ in range(10):
+        x = A @ x
+        x /= x.sum()
+    assert set(got) == set(ids)
+    for i in ids:
+        assert abs(got[i] - x[idx[i]]) < 1e-9
