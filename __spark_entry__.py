@@ -114,6 +114,27 @@ def q_scc_dag(spark, sf_dir):
     )
 
 
+def q_dag_reach(spark, sf_dir):
+    """Descendant counts over the condensation DAG of the sparsified
+    derived graph (path-doubling transitive closure; universe = every
+    component, sinks get 0)."""
+    from detectingscc_spark.operators.condensation import dag_reachability
+    from detectingscc_spark.operators.scc import strongly_connected_components
+
+    e = _sparse_edges(spark, sf_dir)
+    scc = strongly_connected_components(spark, e, local_finish_edges=20_000)
+    s = scc.withColumnRenamed("id", "src").withColumnRenamed("scc_id", "from_scc")
+    t = scc.withColumnRenamed("id", "dst").withColumnRenamed("scc_id", "to_scc")
+    dag = (
+        e.join(s, "src").join(t, "dst")
+        .where(F.col("from_scc") != F.col("to_scc"))
+        .select(F.col("from_scc").alias("src"), F.col("to_scc").alias("dst"))
+        .distinct()
+    )
+    comps = scc.select(F.col("scc_id")).distinct()
+    return dag_reachability(spark, dag, comps=comps)
+
+
 def q_wcc(spark, sf_dir):
     from detectingscc_spark.operators.components import connected_components
 
@@ -908,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss4": q_ktruss4,
         "link_prediction": q_link_prediction,
         "eigencentrality": q_eigencentrality,
+        "dag_reach": q_dag_reach,
         "hits": q_hits,
         "pagerank": q_pagerank,
         "lpa": q_lpa,
@@ -982,6 +1004,33 @@ scc AS (
 sz AS (SELECT scc_id, count(*) AS members FROM scc GROUP BY scc_id)
 SELECT members, count(*) AS n_sccs FROM sz GROUP BY members
 """
+
+DAG_REACH_SQL = f"""
+WITH RECURSIVE {_E},
+es AS (SELECT src, dst FROM e WHERE (src * 31 + dst) % 13 = 0),
+v AS (SELECT src AS id FROM es UNION SELECT dst FROM es),
+reach(a, b) AS (SELECT src, dst FROM es UNION
+                SELECT r.a, es.dst FROM reach r JOIN es ON r.b = es.src),
+mutual AS (
+  SELECT r1.a, r1.b FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+scc AS (
+  SELECT v.id AS id, least(v.id, coalesce(min(m.b), v.id)) AS scc_id
+  FROM v LEFT JOIN mutual m ON v.id = m.a GROUP BY v.id
+),
+dag AS (
+  SELECT DISTINCT s.scc_id AS a, t.scc_id AS b
+  FROM es JOIN scc s ON es.src = s.id JOIN scc t ON es.dst = t.id
+  WHERE s.scc_id <> t.scc_id
+),
+dreach(a, b) AS (SELECT a, b FROM dag UNION
+                 SELECT r.a, d.b FROM dreach r JOIN dag d ON r.b = d.a),
+comps AS (SELECT DISTINCT scc_id FROM scc),
+cnt AS (SELECT a, count(*) AS n FROM dreach GROUP BY a)
+SELECT comps.scc_id, coalesce(cnt.n, 0) AS n_desc
+FROM comps LEFT JOIN cnt ON comps.scc_id = cnt.a
+"""
+
 
 SCC_DAG_SQL = f"""
 WITH RECURSIVE {_E},
@@ -1991,6 +2040,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss4": KTRUSS_SQL,
         "link_prediction": LINK_PREDICTION_SQL,
         "eigencentrality": EIGEN_SQL,
+        "dag_reach": DAG_REACH_SQL,
         "hits": HITS_SQL,
         "lpa": LPA_SQL,
         "ppr": PPR_SQL,

@@ -355,3 +355,38 @@ def test_eigencentrality_vs_numpy(spark):
     assert set(got) == set(ids)
     for i in ids:
         assert abs(got[i] - x[idx[i]]) < 1e-9
+
+
+def test_transitive_closure_and_dag_reach(spark):
+    from detectingscc_spark.operators.condensation import (
+        dag_reachability,
+        transitive_closure,
+    )
+
+    # chain 1->2->...->9 plus a diamond hanging off 3; long chain
+    # exercises >1 doubling round (closure depth 8 -> 3 rounds)
+    es = [(i, i + 1) for i in range(1, 9)] + [(3, 20), (20, 21), (21, 5)]
+    g = spark.createDataFrame(es, ["src", "dst"])
+    got = {(r["src"], r["dst"]) for r in transitive_closure(spark, g).collect()}
+
+    import itertools
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+    want = set()
+    for s in adj:
+        seen, stack = set(), [s]
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        want |= {(s, d) for d in seen}
+    assert got == want
+
+    reach = {r["scc_id"]: r["n_desc"] for r in dag_reachability(spark, g).collect()}
+    want_counts = {s: len({d for (a, d) in want if a == s}) for s in
+                   {x for e in es for x in e}}
+    assert reach == want_counts
+    assert reach[9] == 0  # sink
