@@ -135,6 +135,34 @@ def q_dag_reach(spark, sf_dir):
     return dag_reachability(spark, dag, comps=comps)
 
 
+def q_degree_hist(spark, sf_dir):
+    """Log2-binned degree distribution of the undirected simple view —
+    the power-law summary every web-graph report leads with. The bucket
+    is the BIT LENGTH of the degree (length of its binary string):
+    exact integer arithmetic on both engines, no floating log2 whose
+    boundary values could round differently."""
+    from detectingscc_spark.operators.kcore import undirected_edges
+
+    und = undirected_edges(_edges(spark, sf_dir))
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.groupBy(
+            F.length(F.conv(F.col("deg").cast("string"), 10, 2)).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_wcc(spark, sf_dir):
     from detectingscc_spark.operators.components import connected_components
 
@@ -930,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "eigencentrality": q_eigencentrality,
         "dag_reach": q_dag_reach,
+        "degree_hist": q_degree_hist,
         "hits": q_hits,
         "pagerank": q_pagerank,
         "lpa": q_lpa,
@@ -1004,6 +1033,20 @@ scc AS (
 sz AS (SELECT scc_id, count(*) AS members FROM scc GROUP BY scc_id)
 SELECT members, count(*) AS n_sccs FROM sz GROUP BY members
 """
+
+DEGREE_HIST_SQL = f"""
+WITH {_E},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst),
+deg AS (SELECT id, count(*) AS deg FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b FROM und
+        ) ends GROUP BY id)
+SELECT length(bin(deg)) AS bucket, count(*) AS n_vertices,
+       min(deg) AS min_deg, max(deg) AS max_deg
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
 
 DAG_REACH_SQL = f"""
 WITH RECURSIVE {_E},
@@ -2041,6 +2084,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": LINK_PREDICTION_SQL,
         "eigencentrality": EIGEN_SQL,
         "dag_reach": DAG_REACH_SQL,
+        "degree_hist": DEGREE_HIST_SQL,
         "hits": HITS_SQL,
         "lpa": LPA_SQL,
         "ppr": PPR_SQL,
