@@ -163,6 +163,23 @@ def q_degree_hist(spark, sf_dir):
     )
 
 
+def q_harmonic(spark, sf_dir):
+    """Landmark harmonic centrality: one keyed frontier advances every
+    landmark's BFS wave simultaneously (landmarks = id % 100 == 0, the
+    bfs_dist source predicate; walk depth capped at 32 in both
+    engines)."""
+    from detectingscc_spark.operators.centrality import harmonic_centrality
+
+    e = _edges(spark, sf_dir)
+    lm = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .where(F.col("id") % 100 == 0)
+    )
+    return harmonic_centrality(spark, e, lm, max_hops=32)
+
+
 def q_wcc(spark, sf_dir):
     from detectingscc_spark.operators.components import connected_components
 
@@ -959,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigencentrality": q_eigencentrality,
         "dag_reach": q_dag_reach,
         "degree_hist": q_degree_hist,
+        "harmonic": q_harmonic,
         "hits": q_hits,
         "pagerank": q_pagerank,
         "lpa": q_lpa,
@@ -1819,6 +1837,27 @@ FROM m, generate_series(0, 15) AS t(i)
 """
 
 
+HARMONIC_SQL = f"""
+WITH RECURSIVE {_E}, {_VERTS},
+lm AS (SELECT id FROM v WHERE id % 100 = 0),
+walk(lm, id, dist) AS (
+  SELECT id, id, 0 FROM lm
+  UNION
+  SELECT w.lm, e.dst, w.dist + 1 FROM walk w JOIN e ON w.id = e.src
+  WHERE w.dist < 32
+),
+md AS (SELECT lm, id, min(dist) AS d FROM walk GROUP BY lm, id),
+agg AS (
+  SELECT id, count(*) AS n_reached, round(sum(1.0 / d), 6) AS harmonic6
+  FROM md WHERE d > 0 GROUP BY id
+),
+uni AS (SELECT DISTINCT id FROM v)
+SELECT uni.id, coalesce(agg.n_reached, 0) AS n_reached,
+       coalesce(agg.harmonic6, 0.0::DOUBLE) AS harmonic6
+FROM uni LEFT JOIN agg ON uni.id = agg.id
+"""
+
+
 BFS_DIST_SQL = f"""
 WITH RECURSIVE {_E}, {_VERTS},
 s AS (SELECT id FROM v WHERE id % 100 = 0),
@@ -2085,6 +2124,7 @@ def oracle_sql() -> dict[str, str]:
         "eigencentrality": EIGEN_SQL,
         "dag_reach": DAG_REACH_SQL,
         "degree_hist": DEGREE_HIST_SQL,
+        "harmonic": HARMONIC_SQL,
         "hits": HITS_SQL,
         "lpa": LPA_SQL,
         "ppr": PPR_SQL,

@@ -390,3 +390,41 @@ def test_transitive_closure_and_dag_reach(spark):
                    {x for e in es for x in e}}
     assert reach == want_counts
     assert reach[9] == 0  # sink
+
+
+def test_harmonic_centrality_vs_naive(spark, g128):
+    from collections import deque
+
+    from detectingscc_spark.operators.centrality import harmonic_centrality
+
+    edges, erows, v = g128
+    adj = {}
+    for a, b in erows:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    ids = sorted({x for e in erows for x in e})
+    lms = [i for i in ids if i % 10 == 0]
+    lm_df = spark.createDataFrame([(i,) for i in lms], ["id"])
+
+    want = {i: [0, 0.0] for i in ids}
+    for lm in lms:
+        dist = {lm: 0}
+        q = deque([lm])
+        while q:
+            x = q.popleft()
+            for y in adj.get(x, ()):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        for node, d in dist.items():
+            if d > 0:
+                want[node][0] += 1
+                want[node][1] += 1.0 / d
+    got = {
+        r["id"]: (r["n_reached"], r["harmonic6"])
+        for r in harmonic_centrality(spark, edges, lm_df).collect()
+    }
+    assert set(got) == set(want)
+    for i in ids:
+        assert got[i][0] == want[i][0], i
+        assert abs(got[i][1] - round(want[i][1], 6)) < 2e-6, i
