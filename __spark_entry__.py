@@ -293,6 +293,23 @@ def q_hits(spark, sf_dir):
     )
 
 
+def q_salsa(spark, sf_dir):
+    """SALSA hubs/authorities, 10 L1-normalized iterations of the
+    column-normalized (stochastic) hub<->authority walk."""
+    from detectingscc_spark.operators.hits import salsa
+
+    e = _edges(spark, sf_dir)
+    v = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    res = salsa(spark, e, v, iters=10)
+    return res.select(
+        "id",
+        F.round("auth", 8).alias("auth8"),
+        F.round("hub", 8).alias("hub8"),
+    )
+
+
 def q_pagerank(spark, sf_dir):
     from detectingscc_spark.operators.pagerank import pagerank
 
@@ -978,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_hist": q_degree_hist,
         "harmonic": q_harmonic,
         "hits": q_hits,
+        "salsa": q_salsa,
         "pagerank": q_pagerank,
         "lpa": q_lpa,
         "ppr": q_ppr,
@@ -1746,6 +1764,53 @@ EIGEN_SQL = _eigen_sql(iters=10)
 HITS_SQL = _hits_sql(iters=10)
 
 
+def _salsa_sql(iters: int = 10) -> str:
+    """SALSA unrolled — mirrors operators/hits.py::salsa expression by
+    expression: degree weights folded into the edge table once, weighted
+    push sums, L1 totals, coalesce-0 over the vertex universe."""
+    steps = []
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""ar{k} AS MATERIALIZED (
+  SELECT ew.dst AS id, sum(h.s * ew.w_out) AS raw
+  FROM ew JOIN {prev_h} h ON ew.src = h.id GROUP BY ew.dst
+),
+a{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(ar.raw, 0.0::DOUBLE) / t.t AS s
+  FROM v LEFT JOIN ar{k} ar ON v.id = ar.id
+  CROSS JOIN (SELECT sum(raw) AS t FROM ar{k}) t
+),
+hr{k} AS MATERIALIZED (
+  SELECT ew.src AS id, sum(a.s * ew.w_in) AS raw
+  FROM ew JOIN a{k} a ON ew.dst = a.id GROUP BY ew.src
+),
+h{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(hr.raw, 0.0::DOUBLE) / t.t AS s
+  FROM v LEFT JOIN hr{k} hr ON v.id = hr.id
+  CROSS JOIN (SELECT sum(raw) AS t FROM hr{k}) t
+)"""
+        )
+        prev_h = f"h{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_E}, {_VERTS},
+od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+ind AS (SELECT dst, count(*) AS ind FROM e GROUP BY dst),
+ew AS MATERIALIZED (
+  SELECT e.src, e.dst, 1.0 / od.od AS w_out, 1.0 / ind.ind AS w_in
+  FROM e JOIN od ON e.src = od.src JOIN ind ON e.dst = ind.dst),
+nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+h0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS s FROM v),
+{chain}
+SELECT a{iters}.id, round(a{iters}.s, 8) AS auth8, round(h{iters}.s, 8) AS hub8
+FROM a{iters} JOIN h{iters} ON a{iters}.id = h{iters}.id
+"""
+
+
+SALSA_SQL = _salsa_sql(iters=10)
+
+
 def _ppr_sql(iters: int = 10, damping: float = 0.85, mod: int = 50) -> str:
     """Personalized PageRank unrolled — mirrors
     operators/pagerank.py::personalized_pagerank expression by expression:
@@ -2126,6 +2191,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_hist": DEGREE_HIST_SQL,
         "harmonic": HARMONIC_SQL,
         "hits": HITS_SQL,
+        "salsa": SALSA_SQL,
         "lpa": LPA_SQL,
         "ppr": PPR_SQL,
         "kcore3": KCORE_SQL,

@@ -114,3 +114,69 @@ def eigencentrality(
             )
         )
     return x.withColumnRenamed("s", "score")
+
+
+def salsa(
+    spark: SparkSession,
+    edges: DataFrame,
+    verts: DataFrame,
+    iters: int = 10,
+) -> DataFrame:
+    """SALSA (Lempel & Moran 2000): HITS with COLUMN-normalized pushes —
+    each push divides a vertex's score by its degree before sending, so
+    the walk is the stochastic hub<->authority random walk rather than
+    the raw adjacency power iteration. (id, auth, hub) after `iters`
+    L1-normalized sync iterations over the vertex universe `verts(id)`.
+
+    Same 100 TB shape as hits(): the degree weights are folded into the
+    edge table ONCE (w_out = 1/outdeg(src), w_in = 1/indeg(dst) — the
+    pagerank edge-fold trick), then each half-step is one hash join +
+    one agg; the raw push is eagerly checkpointed because the normalizer
+    and the result both read it. Duplicate edges keep multiplicity in
+    both the degree and the push, mirroring hits().
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    v = verts.select(F.col("id").cast("long").alias("id"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("ind"))
+    ew = (
+        e.join(outdeg, "src")
+        .join(indeg, "dst")
+        .select(
+            "src",
+            "dst",
+            (F.lit(1.0) / F.col("od")).alias("w_out"),
+            (F.lit(1.0) / F.col("ind")).alias("w_in"),
+        )
+    ).localCheckpoint(eager=True)
+    n = v.count()
+    hub = v.select("id", (F.lit(1.0) / F.lit(float(n))).alias("s"))
+
+    def _wpush(scores: DataFrame, key_in: str, key_out: str, w: str) -> DataFrame:
+        raw = (
+            ew.join(scores.withColumnRenamed("id", key_in), key_in)
+            .groupBy(F.col(key_out).alias("id"))
+            .agg(F.sum(F.col("s") * F.col(w)).alias("raw"))
+        ).localCheckpoint(eager=True)
+        total = raw.agg(F.sum("raw").alias("t"))
+        return (
+            v.join(raw, "id", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "id",
+                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("t")).alias("s"),
+            )
+        )
+
+    auth = None
+    for k in range(iters):
+        auth = _wpush(hub, "src", "dst", "w_out")
+        hub = _wpush(auth, "dst", "src", "w_in")
+    return (
+        auth.withColumnRenamed("s", "auth")
+        .join(hub.withColumnRenamed("s", "hub"), "id")
+        .select("id", "auth", "hub")
+    )

@@ -428,3 +428,32 @@ def test_harmonic_centrality_vs_naive(spark, g128):
     for i in ids:
         assert got[i][0] == want[i][0], i
         assert abs(got[i][1] - round(want[i][1], 6)) < 2e-6, i
+
+
+def test_salsa_vs_numpy(spark):
+    from detectingscc_spark.operators.hits import salsa
+
+    es = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 1), (2, 2), (1, 2)]
+    g = spark.createDataFrame(es, ["src", "dst"])
+    ids = sorted({x for e in es for x in e})
+    v = spark.createDataFrame([(i,) for i in ids], ["id"])
+    got = {r["id"]: (r["auth"], r["hub"]) for r in salsa(spark, g, v, iters=10).collect()}
+
+    idx = {x: i for i, x in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for s, d in es:
+        A[idx[s], idx[d]] += 1.0  # duplicate edges keep multiplicity
+    od = A.sum(axis=1)          # out-degree with multiplicity
+    ind = A.sum(axis=0)
+    Wr = np.divide(A, od[:, None], out=np.zeros_like(A), where=od[:, None] > 0)
+    Wc = np.divide(A, ind[None, :], out=np.zeros_like(A), where=ind[None, :] > 0)
+    h = np.full(n, 1.0 / n)
+    for _ in range(10):
+        a = Wr.T @ h
+        a /= a.sum()
+        h = Wc @ a
+        h /= h.sum()
+    for x in ids:
+        assert abs(got[x][0] - a[idx[x]]) < 1e-9, x
+        assert abs(got[x][1] - h[idx[x]]) < 1e-9, x
