@@ -180,6 +180,40 @@ def q_harmonic(spark, sf_dir):
     return harmonic_centrality(spark, e, lm, max_hops=32)
 
 
+def q_dist_quantiles(spark, sf_dir):
+    """Distance-distribution summary over the landmark BFS waves (the
+    effective-diameter report metric): exact discrete quantiles of the
+    positive (landmark, vertex) hop distances — value at index
+    floor(q*(n-1)) of the sorted multiset — computed from the <=32-row
+    per-distance histogram, never a global sort."""
+    from pyspark.sql import Window
+    from detectingscc_spark.operators.centrality import landmark_distances
+
+    e = _edges(spark, sf_dir)
+    lm = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .where(F.col("id") % 100 == 0)
+    )
+    d = landmark_distances(spark, e, lm, max_hops=32).where(F.col("dist") > 0)
+    hist = d.groupBy("dist").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn("cum", F.sum("c").over(Window.orderBy("dist")))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+
+    def pick(p):
+        t = F.floor(F.lit(p) * (F.col("n") - 1)) + 1
+        return F.min(F.when(F.col("cum") >= t, F.col("dist")))
+
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        F.first("n").alias("n_pairs"),
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+        pick(0.99).alias("p99"),
+        F.max("dist").alias("dmax"),
+    )
+
+
 def q_wcc(spark, sf_dir):
     from detectingscc_spark.operators.components import connected_components
 
@@ -994,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_reach": q_dag_reach,
         "degree_hist": q_degree_hist,
         "harmonic": q_harmonic,
+        "dist_quantiles": q_dist_quantiles,
         "hits": q_hits,
         "salsa": q_salsa,
         "pagerank": q_pagerank,
@@ -1902,6 +1937,29 @@ FROM m, generate_series(0, 15) AS t(i)
 """
 
 
+DIST_QUANTILES_SQL = f"""
+WITH RECURSIVE {_E}, {_VERTS},
+lm AS (SELECT DISTINCT id FROM v WHERE id % 100 = 0),
+walk(lm, id, dist) AS (
+  SELECT id, id, 0 FROM lm
+  UNION
+  SELECT w.lm, e.dst, w.dist + 1 FROM walk w JOIN e ON w.id = e.src
+  WHERE w.dist < 32
+),
+md AS (SELECT lm, id, min(dist) AS d FROM walk GROUP BY lm, id),
+dd AS (SELECT d FROM md WHERE d > 0),
+hist AS (SELECT d, count(*) AS c FROM dd GROUP BY d),
+cum AS (SELECT d, sum(c) OVER (ORDER BY d) AS cum FROM hist),
+tot AS (SELECT count(*) AS n FROM dd)
+SELECT max(n) AS n_pairs,
+       min(CASE WHEN cum >= floor(0.5 * (n - 1)) + 1 THEN d END) AS p50,
+       min(CASE WHEN cum >= floor(0.9 * (n - 1)) + 1 THEN d END) AS p90,
+       min(CASE WHEN cum >= floor(0.99 * (n - 1)) + 1 THEN d END) AS p99,
+       max(d) AS dmax
+FROM cum CROSS JOIN tot
+"""
+
+
 HARMONIC_SQL = f"""
 WITH RECURSIVE {_E}, {_VERTS},
 lm AS (SELECT id FROM v WHERE id % 100 = 0),
@@ -2190,6 +2248,7 @@ def oracle_sql() -> dict[str, str]:
         "dag_reach": DAG_REACH_SQL,
         "degree_hist": DEGREE_HIST_SQL,
         "harmonic": HARMONIC_SQL,
+        "dist_quantiles": DIST_QUANTILES_SQL,
         "hits": HITS_SQL,
         "salsa": SALSA_SQL,
         "lpa": LPA_SQL,
