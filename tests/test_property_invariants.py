@@ -163,3 +163,94 @@ def test_persisted_ann_equals_recompute(
     assert rows(ann_topk_ivf_indexed(spark, ivf_path, emb, qids, k=3, n_probe=n_probe)) == rows(
         ann_topk_ivf(emb, qids, k=3, n_centroids=8, n_probe=n_probe)
     )
+
+
+# ---- random-digraph invariants for the round-6 graph companions ------
+
+_EDGE = st.tuples(st.integers(1, 14), st.integers(1, 14))
+_GRAPH = st.lists(_EDGE, min_size=1, max_size=40)
+
+
+@given(_GRAPH)
+@_SETTINGS
+def test_ktruss_vs_naive_random(spark, es):
+    """k-truss fixpoint equals the naive python peel on random digraphs
+    (duplicates, self-loops, hubs all allowed in the input)."""
+    from detectingscc_spark.operators.truss import ktruss
+
+    from .test_companion_algos import _naive_ktruss
+
+    g = spark.createDataFrame(es, "src long, dst long")
+    und = {(min(a, b), max(a, b)) for a, b in es if a != b}
+    for k in (3, 4):
+        got = {(r["a"], r["b"]) for r in ktruss(spark, g, k=k).collect()}
+        assert got == _naive_ktruss(und, k), f"k={k} es={es}"
+
+
+@given(_GRAPH)
+@_SETTINGS
+def test_harmonic_vs_naive_random(spark, es):
+    """Landmark harmonic centrality equals the python BFS oracle on
+    random digraphs; landmarks = odd ids (a nontrivial subset)."""
+    from collections import deque
+
+    from detectingscc_spark.operators.centrality import harmonic_centrality
+
+    g = spark.createDataFrame(es, "src long, dst long")
+    ids = sorted({x for e in es for x in e})
+    lms = [i for i in ids if i % 2 == 1]
+    if not lms:
+        return
+    lm_df = spark.createDataFrame([(i,) for i in lms], "id long")
+    adj = {}
+    for a, b in es:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    want = {i: [0, 0.0] for i in ids}
+    for lm in lms:
+        dist = {lm: 0}
+        q = deque([lm])
+        while q:
+            x = q.popleft()
+            for y in adj.get(x, ()):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        for node, d in dist.items():
+            if d > 0:
+                want[node][0] += 1
+                want[node][1] += 1.0 / d
+    got = {
+        r["id"]: (r["n_reached"], r["harmonic6"])
+        for r in harmonic_centrality(spark, g, lm_df).collect()
+    }
+    assert set(got) == set(want)
+    for i in ids:
+        assert got[i][0] == want[i][0], (i, es)
+        assert abs(got[i][1] - round(want[i][1], 6)) < 2e-6, (i, es)
+
+
+@given(_GRAPH)
+@_SETTINGS
+def test_transitive_closure_random(spark, es):
+    """Path-doubling closure equals python DFS reachability on random
+    digraphs (cycles allowed: (x,x) pairs appear exactly when x is on a
+    cycle, mirroring the docstring contract)."""
+    from detectingscc_spark.operators.condensation import transitive_closure
+
+    g = spark.createDataFrame(es, "src long, dst long")
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+    want = set()
+    for s in adj:
+        seen, stack = set(), [s]
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        want |= {(s, d) for d in seen}
+    got = {(r["src"], r["dst"]) for r in transitive_closure(spark, g).collect()}
+    assert got == want, es
