@@ -5,7 +5,8 @@
   spark-submit --py-files detectingscc_spark.zip -m detectingscc_spark ...
 
 Algorithms: scc (FB-Trim ~ vHong/wHong), scc-coloring (~ vSlota/wSlota),
-scc-partitioned (~ detectSCC), cc, pagerank, ppr, lpa, triangles, kcore, bfs. Input is an
+scc-partitioned (~ detectSCC), cc, pagerank, ppr, lpa, triangles, kcore,
+bfs, hits, salsa, eigen, harmonic, ktruss. Input is an
 edge parquet/GTgraph file; outputs parquet + a metrics JSON
 (reference prints `Number Of Sccs` + `Time`, scc_WCC.cu:538-539 — we
 persist the same plus the per-phase counters it tracks at :600-603).
@@ -24,8 +25,11 @@ def main():
     ap.add_argument("--algo", required=True,
                     choices=["scc", "scc-coloring", "scc-partitioned", "scc-csr",
                              "cc", "pagerank", "ppr", "lpa", "triangles", "kcore",
-                             "bfs", "ann-build", "ann-probe"])
-    ap.add_argument("--k", type=int, default=3, help="k for --algo kcore")
+                             "bfs", "hits", "salsa", "eigen", "harmonic", "ktruss",
+                             "ann-build", "ann-probe"])
+    ap.add_argument("--k", type=int, default=3, help="k for --algo kcore / ktruss")
+    ap.add_argument("--iters", type=int, default=10,
+                    help="power iterations for hits/salsa/eigen")
     ap.add_argument("--sources-mod", type=int, default=100,
                     help="ppr/bfs source set: vertices with id %% mod == 0")
     ap.add_argument("--input", required=True, help="edge parquet dir or GTgraph .gr file")
@@ -206,7 +210,31 @@ def main():
 
         result = kcore(spark, edges, k=args.k, runner=runner)
         n_groups = result.count()
-    elif args.algo in ("ppr", "bfs"):
+    elif args.algo in ("hits", "salsa", "eigen"):
+        from pyspark.sql import functions as F
+
+        if args.algo == "eigen":
+            from .operators.hits import eigencentrality
+
+            result = eigencentrality(spark, edges, iters=args.iters)
+        else:
+            verts = vertices if vertices is not None else (
+                edges.select(F.col("src").alias("id")).union(
+                    edges.select(F.col("dst").alias("id"))
+                ).distinct()
+            )
+            if args.algo == "hits":
+                from .operators.hits import hits as op
+            else:
+                from .operators.hits import salsa as op
+            result = op(spark, edges, verts.select("id"), iters=args.iters)
+        n_groups = result.count()
+    elif args.algo == "ktruss":
+        from .operators.truss import ktruss
+
+        result = ktruss(spark, edges, k=args.k, runner=runner)
+        n_groups = result.count()
+    elif args.algo in ("ppr", "bfs", "harmonic"):
         from pyspark.sql import functions as F
 
         ids = edges.select(F.col("src").alias("id")).union(
@@ -217,6 +245,10 @@ def main():
             from .operators.pagerank import personalized_pagerank
 
             result = personalized_pagerank(spark, edges, sources, runner=runner)
+        elif args.algo == "harmonic":
+            from .operators.centrality import harmonic_centrality
+
+            result = harmonic_centrality(spark, edges, sources, runner=runner)
         else:
             from .operators.bfs import bfs_distances
 

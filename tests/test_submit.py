@@ -97,3 +97,26 @@ def test_spark_submit_ann_build_then_probe(tmp_path):
     # the exact scan; 4-table LSH on the fixture stays well above 0)
     assert 0.0 < metrics["recall"] <= 1.0
     assert os.path.isdir(tmp_path / "probe_out" / "result")
+
+
+def test_cli_companion_algos_inprocess(spark, tmp_path, monkeypatch):
+    """The round-6 companion algos are CLI-drivable: hits, salsa, eigen,
+    harmonic, ktruss each write result parquet + metrics.json on
+    sample1.gr. In-process (main() never stops the session)."""
+    import json
+    import sys
+
+    from detectingscc_spark.__main__ import main
+
+    gr = "/root/reference/data/sample1.gr"
+    for algo in ("hits", "salsa", "eigen", "harmonic", "ktruss"):
+        out = tmp_path / algo
+        monkeypatch.setattr(sys, "argv", [
+            "detectingscc_spark", "--algo", algo, "--input", gr,
+            "--output", str(out), "--iters", "3", "--sources-mod", "2",
+        ])
+        main()
+        with open(out / "metrics.json") as f:
+            m = json.load(f)
+        assert m["algo"] == algo and m["groups"] >= 0, algo
+        assert os.path.exists(out / "result" / "_SUCCESS"), algo
