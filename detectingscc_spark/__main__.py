@@ -160,7 +160,12 @@ def main():
         "|".join(
             str(x)
             for x in (args.input, args.algo, args.no_trim2, args.trim_iters,
-                      args.local_finish_edges, args.n_parts)
+                      args.local_finish_edges, args.n_parts,
+                      # result-shaping knobs of the companion algos: a
+                      # rerun on the same --checkpoint-dir with a
+                      # different k / iteration count / source set must
+                      # never resume the old run's state
+                      args.k, args.iters, args.sources_mod)
         ).encode()
     ).hexdigest()[:16]
     runner = SuperstepRunner(
