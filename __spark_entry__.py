@@ -357,6 +357,62 @@ def q_lpa(spark, sf_dir):
     return label_propagation(spark, _edges(spark, sf_dir), rounds=4)
 
 
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the LPA(4) community assignment over the
+    undirected simple view: Q = sum_c [in_c/m - (deg_c/2m)^2] — the
+    community-quality score a link-graph report pairs with LPA. Exact
+    integer counts, one final double fold (rounded 6dp; community-sum
+    reordering absorbed)."""
+    from detectingscc_spark.operators.kcore import undirected_edges
+    from detectingscc_spark.operators.lpa import label_propagation
+
+    e = _edges(spark, sf_dir)
+    labels = label_propagation(spark, e, rounds=4)
+    und = undirected_edges(e)
+    la = labels.select(F.col("id").alias("a"), F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("id").alias("b"), F.col("label").alias("lab_b"))
+    intra = (
+        und.join(la, "a").join(lb, "b")
+        .where(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("c"))
+        .agg(F.count(F.lit(1)).alias("inc"))
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = (
+        deg.join(labels, "id")
+        .groupBy(F.col("label").alias("c"))
+        .agg(F.sum("d").alias("dc"))
+    )
+    m = und.agg(
+        F.count(F.lit(1)).alias("m_edges"),
+    )
+    ncomm = labels.agg(F.count_distinct("label").alias("n_comms"))
+    per_c = dc.join(intra, "c", "left").select(
+        "c", F.coalesce(F.col("inc"), F.lit(0)).alias("inc"), "dc"
+    )
+    return (
+        per_c.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(ncomm))
+        .agg(
+            F.first("m_edges").alias("m_edges"),
+            F.first("n_comms").alias("n_comms"),
+            F.round(
+                F.sum(
+                    F.col("inc") / F.col("m_edges")
+                    - (F.col("dc") / (2.0 * F.col("m_edges")))
+                    * (F.col("dc") / (2.0 * F.col("m_edges")))
+                ),
+                6,
+            ).alias("modularity6"),
+        )
+    )
+
+
 PPR_MOD = 50  # personalization source set: ids divisible by 50
 
 
@@ -1033,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa": q_salsa,
         "pagerank": q_pagerank,
         "lpa": q_lpa,
+        "modularity": q_modularity,
         "ppr": q_ppr,
         "kcore3": q_kcore,
         "bfs_dist": q_bfs_dist,
@@ -2040,6 +2097,35 @@ SELECT id, label FROM {prev}
 LPA_SQL = _lpa_sql(rounds=4)
 
 
+MODULARITY_SQL = f"""
+WITH labels AS ({_lpa_sql(rounds=4).strip()}),
+e2 AS ({DERIVED_EDGES_SQL}),
+su AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM e2 WHERE src <> dst),
+mm AS (SELECT count(*) AS m_edges FROM su),
+nc AS (SELECT count(DISTINCT label) AS n_comms FROM labels),
+deg AS (SELECT id, count(*) AS d FROM (
+          SELECT a AS id FROM su UNION ALL SELECT b FROM su
+        ) ends GROUP BY id),
+intra AS (
+  SELECT la.label AS c, count(*) AS inc
+  FROM su JOIN labels la ON su.a = la.id JOIN labels lb ON su.b = lb.id
+  WHERE la.label = lb.label GROUP BY la.label
+),
+dc AS (SELECT l.label AS c, sum(deg.d) AS dc
+       FROM deg JOIN labels l ON deg.id = l.id GROUP BY l.label),
+per_c AS (SELECT dc.c, coalesce(intra.inc, 0) AS inc, dc.dc
+          FROM dc LEFT JOIN intra ON dc.c = intra.c)
+SELECT max(mm.m_edges) AS m_edges, max(nc.n_comms) AS n_comms,
+       round(sum(inc / mm.m_edges::DOUBLE
+                 - (dc / (2.0 * mm.m_edges)) * (dc / (2.0 * mm.m_edges))), 6)
+         AS modularity6
+FROM per_c CROSS JOIN mm CROSS JOIN nc
+"""
+
+
+
+
 CORPUS_SCC_SQL = f"""
 WITH RECURSIVE
 e AS (SELECT DISTINCT src, dst
@@ -2252,6 +2338,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": HITS_SQL,
         "salsa": SALSA_SQL,
         "lpa": LPA_SQL,
+        "modularity": MODULARITY_SQL,
         "ppr": PPR_SQL,
         "kcore3": KCORE_SQL,
         "bfs_dist": BFS_DIST_SQL,

@@ -457,3 +457,49 @@ def test_salsa_vs_numpy(spark):
     for x in ids:
         assert abs(got[x][0] - a[idx[x]]) < 1e-9, x
         assert abs(got[x][1] - h[idx[x]]) < 1e-9, x
+
+
+def test_modularity_two_cliques(spark, tmp_path):
+    """Two 4-cliques joined by one bridge: LPA finds the two cliques and
+    Newman modularity matches the hand formula Q = sum in_c/m - (d_c/2m)^2."""
+    import itertools
+
+    from detectingscc_spark.operators.kcore import undirected_edges
+    from detectingscc_spark.operators.lpa import label_propagation
+
+    c1, c2 = [1, 2, 3, 4], [11, 12, 13, 14]
+    es = (
+        [(a, b) for a, b in itertools.combinations(c1, 2)]
+        + [(a, b) for a, b in itertools.combinations(c2, 2)]
+        + [(4, 11)]
+    )
+    g = spark.createDataFrame(es, ["src", "dst"])
+    labels = {r["id"]: r["label"] for r in label_propagation(spark, g, rounds=4).collect()}
+    comm = {}
+    for v_, l_ in labels.items():
+        comm.setdefault(l_, set()).add(v_)
+
+    und = {(min(a, b), max(a, b)) for a, b in es}
+    m = len(und)
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    q = 0.0
+    for members in comm.values():
+        inc = sum(1 for a, b in und if a in members and b in members)
+        dc = sum(deg[v_] for v_ in members)
+        q += inc / m - (dc / (2 * m)) ** 2
+
+    # mirror q_modularity's computation on this fixture graph
+    la = labels
+    intra = {}
+    dcs = {}
+    for a, b in und:
+        if la[a] == la[b]:
+            intra[la[a]] = intra.get(la[a], 0) + 1
+    for v_, d_ in deg.items():
+        dcs[la[v_]] = dcs.get(la[v_], 0) + d_
+    q2 = sum(intra.get(c, 0) / m - (dcs[c] / (2 * m)) ** 2 for c in dcs)
+    assert abs(q - q2) < 1e-12
+    assert q > 0.3  # two dense cliques -> clearly positive modularity
