@@ -503,3 +503,24 @@ def test_modularity_two_cliques(spark, tmp_path):
     q2 = sum(intra.get(c, 0) / m - (dcs[c] / (2 * m)) ** 2 for c in dcs)
     assert abs(q - q2) < 1e-12
     assert q > 0.3  # two dense cliques -> clearly positive modularity
+
+
+def test_companion_plans_have_no_cartesian_scan(spark, g128):
+    """Plan audit for the round-6 companions: candidate generation must
+    be hash/sort-merge joins — a CartesianProduct in edge_support or
+    link_prediction means the wedge join degenerated to all-pairs. The
+    only nested-loop join allowed anywhere is the broadcast of a 1-row
+    scalar frame (hits/salsa/eigen normalizers, link_prediction has
+    none)."""
+    from detectingscc_spark.operators.linkpred import link_prediction
+    from detectingscc_spark.operators.truss import edge_support
+
+    edges, _, _ = g128
+    for name, df in (
+        ("edge_support", edge_support(spark, edges)),
+        ("link_prediction", link_prediction(spark, edges, top_k=20)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "PythonUDF" not in plan, name
