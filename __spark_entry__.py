@@ -214,6 +214,27 @@ def q_dist_quantiles(spark, sf_dir):
     )
 
 
+def q_dag_layers(spark, sf_dir):
+    """Longest-path layering of the condensation DAG (the level schedule
+    of the contracted graph; roots and isolated components at layer 0)."""
+    from detectingscc_spark.operators.condensation import dag_layers
+    from detectingscc_spark.operators.scc import strongly_connected_components
+
+    e = _sparse_edges(spark, sf_dir)
+    scc = strongly_connected_components(spark, e, local_finish_edges=20_000)
+    s = scc.withColumnRenamed("id", "src").withColumnRenamed("scc_id", "from_scc")
+    t = scc.withColumnRenamed("id", "dst").withColumnRenamed("scc_id", "to_scc")
+    dag = (
+        e.join(s, "src").join(t, "dst")
+        .where(F.col("from_scc") != F.col("to_scc"))
+        .select(F.col("from_scc").alias("src"), F.col("to_scc").alias("dst"))
+        .distinct()
+    )
+    comps = scc.select(F.col("scc_id").alias("id")).distinct()
+    res = dag_layers(spark, dag, comps=comps)
+    return res.select(F.col("id").alias("scc_id"), "layer")
+
+
 def q_wcc(spark, sf_dir):
     from detectingscc_spark.operators.components import connected_components
 
@@ -1082,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "eigencentrality": q_eigencentrality,
         "dag_reach": q_dag_reach,
+        "dag_layers": q_dag_layers,
         "degree_hist": q_degree_hist,
         "harmonic": q_harmonic,
         "dist_quantiles": q_dist_quantiles,
@@ -1200,6 +1222,33 @@ comps AS (SELECT DISTINCT scc_id FROM scc),
 cnt AS (SELECT a, count(*) AS n FROM dreach GROUP BY a)
 SELECT comps.scc_id, coalesce(cnt.n, 0) AS n_desc
 FROM comps LEFT JOIN cnt ON comps.scc_id = cnt.a
+"""
+
+
+DAG_LAYERS_SQL = f"""
+WITH RECURSIVE {_E},
+es AS (SELECT src, dst FROM e WHERE (src * 31 + dst) % 13 = 0),
+v AS (SELECT src AS id FROM es UNION SELECT dst FROM es),
+reach(a, b) AS (SELECT src, dst FROM es UNION
+                SELECT r.a, es.dst FROM reach r JOIN es ON r.b = es.src),
+mutual AS (
+  SELECT r1.a, r1.b FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+scc AS (
+  SELECT v.id AS id, least(v.id, coalesce(min(m.b), v.id)) AS scc_id
+  FROM v LEFT JOIN mutual m ON v.id = m.a GROUP BY v.id
+),
+dag AS (
+  SELECT DISTINCT s.scc_id AS a, t.scc_id AS b
+  FROM es JOIN scc s ON es.src = s.id JOIN scc t ON es.dst = t.id
+  WHERE s.scc_id <> t.scc_id
+),
+comps AS (SELECT DISTINCT scc_id FROM scc),
+roots AS (SELECT c.scc_id FROM comps c
+          WHERE NOT EXISTS (SELECT 1 FROM dag WHERE dag.b = c.scc_id)),
+lwalk(id, d) AS (SELECT scc_id, 0 FROM roots UNION
+                 SELECT dag.b, w.d + 1 FROM lwalk w JOIN dag ON dag.a = w.id)
+SELECT id AS scc_id, max(d) AS layer FROM lwalk GROUP BY id
 """
 
 
@@ -2332,6 +2381,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": LINK_PREDICTION_SQL,
         "eigencentrality": EIGEN_SQL,
         "dag_reach": DAG_REACH_SQL,
+        "dag_layers": DAG_LAYERS_SQL,
         "degree_hist": DEGREE_HIST_SQL,
         "harmonic": HARMONIC_SQL,
         "dist_quantiles": DIST_QUANTILES_SQL,

@@ -87,3 +87,65 @@ def dag_reachability(
         .join(counts, "scc_id", "left")
         .select("scc_id", F.coalesce(F.col("n_desc"), F.lit(0)).alias("n_desc"))
     )
+
+
+def dag_layers(
+    spark: SparkSession,
+    dag_edges: DataFrame,
+    comps: DataFrame | None = None,
+    *,
+    max_rounds: int = 64,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Longest-path layering of a DAG: (id, layer) where layer(v) = the
+    longest directed path from any root (in-degree-0 node) to v — the
+    level schedule a topological executor would run the condensation in.
+
+    Iterative relaxation from all-zeros: layer ← max(layer, 1 +
+    max_{u→v} layer(u)); converges in `depth` rounds (one join + one agg
+    per round over a frame of 2 longs per component), with max_rounds as
+    the loud non-DAG/deep-graph guard — a cycle never converges and
+    raises instead of looping silently. `comps(id)` widens the universe
+    to isolated components (layer 0).
+    """
+    runner = runner or SuperstepRunner(spark, run_id="daglayers")
+    dag = dag_edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).distinct()
+    dag, _ = runner.tick("dag", dag.repartition("src"), detach=False)
+    universe = dag.select(F.col("src").alias("id")).union(dag.select(F.col("dst").alias("id")))
+    if comps is not None:
+        universe = universe.union(comps.select(F.col("id").cast("long")))
+    universe = universe.distinct()
+    layers = universe.withColumn("layer", F.lit(0).cast("long"))
+    layers, _ = runner.tick("layers", layers)
+    # Σ layer is strictly monotone under relaxation, so the convergence
+    # probe rides as one scalar agg instead of a row-diff join
+    prev_sum = 0
+    for i in range(max_rounds):
+        runner.superstep = i + 1
+        runner.bump("iterations")
+        cand = (
+            dag.join(layers.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.max("layer") + 1).alias("cand"))
+        )
+        nxt = (
+            layers.join(cand, "id", "left")
+            .select("id", F.greatest(F.col("layer"), F.coalesce(F.col("cand"), F.lit(0))).alias("layer"))
+        )
+        nxt, _ = runner.tick("layers_next", nxt, count=False)
+        runner.promote("layers_next", "layers")
+        cur_sum = nxt.agg(F.sum("layer")).first()[0] or 0
+        converged = cur_sum == prev_sum
+        layers, prev_sum = nxt, cur_sum
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"dag_layers: no fixpoint within max_rounds={max_rounds} "
+            "(cycle in the input, or a deeper DAG than the guard allows)"
+        )
+    result = layers
+    runner.release("dag")
+    return result

@@ -524,3 +524,37 @@ def test_companion_plans_have_no_cartesian_scan(spark, g128):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "PythonUDF" not in plan, name
+
+
+def test_dag_layers_vs_naive(spark):
+    from detectingscc_spark.operators.condensation import dag_layers
+
+    # two roots, shared diamond, a deep tail, plus an isolated comp (99)
+    es = [(1, 3), (2, 3), (3, 4), (3, 5), (4, 6), (5, 6), (6, 7), (2, 7)]
+    g = spark.createDataFrame(es, ["src", "dst"])
+    comps = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 7, 99]], ["id"])
+    got = {r["id"]: r["layer"] for r in dag_layers(spark, g, comps=comps).collect()}
+
+    import functools
+
+    adj_in = {}
+    nodes = {x for e in es for x in e} | {99}
+    for a, b in es:
+        adj_in.setdefault(b, set()).add(a)
+
+    @functools.lru_cache(None)
+    def layer(v):
+        preds = adj_in.get(v, ())
+        return 0 if not preds else 1 + max(layer(u) for u in preds)
+
+    assert got == {v: layer(v) for v in nodes}
+
+
+def test_dag_layers_cycle_raises(spark):
+    import pytest
+
+    from detectingscc_spark.operators.condensation import dag_layers
+
+    g = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        dag_layers(spark, g, max_rounds=8)
