@@ -26,7 +26,9 @@ def main():
                     choices=["scc", "scc-coloring", "scc-partitioned", "scc-csr",
                              "cc", "pagerank", "ppr", "lpa", "triangles", "kcore",
                              "bfs", "hits", "salsa", "eigen", "harmonic", "ktruss",
-                             "ann-build", "ann-probe"])
+                             "linkpred", "ann-build", "ann-probe"])
+    ap.add_argument("--topk-pairs", type=int, default=100,
+                    help="result size for --algo linkpred")
     ap.add_argument("--k", type=int, default=3, help="k for --algo kcore / ktruss")
     ap.add_argument("--iters", type=int, default=10,
                     help="power iterations for hits/salsa/eigen")
@@ -238,6 +240,11 @@ def main():
         from .operators.truss import ktruss
 
         result = ktruss(spark, edges, k=args.k, runner=runner)
+        n_groups = result.count()
+    elif args.algo == "linkpred":
+        from .operators.linkpred import link_prediction
+
+        result = link_prediction(spark, edges, top_k=args.topk_pairs)
         n_groups = result.count()
     elif args.algo in ("ppr", "bfs", "harmonic"):
         from pyspark.sql import functions as F

@@ -109,7 +109,7 @@ def test_cli_companion_algos_inprocess(spark, tmp_path, monkeypatch):
     from detectingscc_spark.__main__ import main
 
     gr = "/root/reference/data/sample1.gr"
-    for algo in ("hits", "salsa", "eigen", "harmonic", "ktruss"):
+    for algo in ("hits", "salsa", "eigen", "harmonic", "ktruss", "linkpred"):
         out = tmp_path / algo
         monkeypatch.setattr(sys, "argv", [
             "detectingscc_spark", "--algo", algo, "--input", gr,
