@@ -41,6 +41,10 @@ def hits(
     )
     v = verts.select(F.col("id").cast("long").alias("id"))
     n = v.count()
+    if n == 0:
+        # ANSI mode constant-folds the 1/n seed at plan time, so an empty
+        # universe must short-circuit rather than build a 1/0 literal
+        return v.select("id", F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub"))
     hub = v.select("id", (F.lit(1.0) / F.lit(float(n))).alias("s"))
 
     def _push(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
@@ -97,6 +101,9 @@ def eigencentrality(
     )
     v = und.select(F.col("a").alias("id")).union(und.select(F.col("b").alias("id"))).distinct()
     n = v.count()
+    if n == 0:
+        # see hits(): the 1/n seed would constant-fold to 1/0 under ANSI
+        return v.select("id", F.lit(0.0).alias("score"))
     x = v.select("id", (F.lit(1.0) / F.lit(float(n))).alias("s"))
     for k in range(iters):
         raw = (
@@ -153,6 +160,9 @@ def salsa(
         )
     ).localCheckpoint(eager=True)
     n = v.count()
+    if n == 0:
+        # see hits(): the 1/n seed would constant-fold to 1/0 under ANSI
+        return v.select("id", F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub"))
     hub = v.select("id", (F.lit(1.0) / F.lit(float(n))).alias("s"))
 
     def _wpush(scores: DataFrame, key_in: str, key_out: str, w: str) -> DataFrame:

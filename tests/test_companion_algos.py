@@ -558,3 +558,34 @@ def test_dag_layers_cycle_raises(spark):
     g = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="no fixpoint"):
         dag_layers(spark, g, max_rounds=8)
+
+
+def test_companion_empty_and_degenerate_inputs(spark):
+    """Degenerate inputs return empty/zero frames instead of raising:
+    triangle-free graph -> empty 4-truss; no shared-neighbor candidates
+    -> empty link prediction; empty landmark set -> all-zero harmonic;
+    self-loop-only graph -> empty eigencentrality universe."""
+    from detectingscc_spark.operators.centrality import harmonic_centrality
+    from detectingscc_spark.operators.hits import eigencentrality
+    from detectingscc_spark.operators.linkpred import link_prediction
+    from detectingscc_spark.operators.truss import ktruss
+
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    assert ktruss(spark, chain, k=4).count() == 0
+
+    pair = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    assert link_prediction(spark, pair).count() == 0
+
+    no_lm = spark.createDataFrame([], "id long")
+    rows = harmonic_centrality(spark, chain, no_lm).collect()
+    assert {r["id"] for r in rows} == {1, 2, 3, 4}
+    assert all(r["n_reached"] == 0 and r["harmonic6"] == 0.0 for r in rows)
+
+    loops = spark.createDataFrame([(7, 7), (8, 8)], ["src", "dst"])
+    assert eigencentrality(spark, loops).count() == 0
+
+    from detectingscc_spark.operators.hits import hits, salsa
+
+    empty_v = spark.createDataFrame([], "id long")
+    assert hits(spark, loops.limit(0), empty_v).count() == 0
+    assert salsa(spark, loops.limit(0), empty_v).count() == 0

@@ -48,3 +48,32 @@ def test_scc_driver_action_budget(spark):
             "at cluster scale — fold the count into the tick's Observation "
             "or make the frame lazy"
         )
+
+
+def test_hits_driver_action_budget(spark):
+    """hits() submits a LINEAR number of jobs in the iteration count:
+    measured exactly 16/iteration + 6 constant (iters 1..4 -> 22/38/54/70
+    at commit time; the 16 = 2 eager raw-push checkpoints plus AQE
+    stage/broadcast sub-jobs per half-step). The budget (60 for iters=3,
+    ~11% headroom) catches the two regressions that matter at cluster
+    scale: a new eager action per half-step (+6) and, worse, any
+    superlinear growth from un-truncated lineage re-evaluation."""
+    from detectingscc_spark.operators.hits import hits
+
+    path = os.path.join(REF_DATA, "sample1.gr")
+    v, _ = gtgraph_meta(spark, path)
+    edges = read_gtgraph(spark, path)
+    sc = spark.sparkContext
+    group = "action-budget-hits"
+    sc.setJobGroup(group, "driver-action budget guard")
+    try:
+        n = hits(spark, edges, spark.range(1, v + 1), iters=3).count()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert n == v
+    jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert jobs <= 60, (
+        f"hits(iters=3) submitted {jobs} Spark jobs (budget 60, measured "
+        "54 = 16/iter + 6 at commit time): an eager action crept into the "
+        "per-half-step path or lineage re-evaluation went superlinear"
+    )
