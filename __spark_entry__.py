@@ -235,6 +235,15 @@ def q_dag_layers(spark, sf_dir):
     return res.select(F.col("id").alias("scc_id"), "layer")
 
 
+def q_bipartiteness(spark, sf_dir):
+    """BFS-forest parity bipartiteness report over the sparsified derived
+    graph (the dense full graph is trivially non-bipartite; the sparse
+    cut leaves a mix of odd and even structures worth reporting)."""
+    from detectingscc_spark.operators.components import bipartiteness
+
+    return bipartiteness(spark, _sparse_edges(spark, sf_dir), max_hops=64)
+
+
 def q_wcc(spark, sf_dir):
     from detectingscc_spark.operators.components import connected_components
 
@@ -1104,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigencentrality": q_eigencentrality,
         "dag_reach": q_dag_reach,
         "dag_layers": q_dag_layers,
+        "bipartiteness": q_bipartiteness,
         "degree_hist": q_degree_hist,
         "harmonic": q_harmonic,
         "dist_quantiles": q_dist_quantiles,
@@ -1269,6 +1279,37 @@ SELECT DISTINCT s.scc_id AS from_scc, t.scc_id AS to_scc
 FROM es JOIN scc s ON es.src = s.id JOIN scc t ON es.dst = t.id
 WHERE s.scc_id <> t.scc_id
 """
+
+BIPARTITE_SQL = f"""
+WITH RECURSIVE {_E},
+es AS (SELECT src, dst FROM e WHERE (src * 31 + dst) % 13 = 0),
+v AS (SELECT src AS id FROM es UNION SELECT dst FROM es),
+u AS (SELECT src, dst FROM es UNION SELECT dst, src FROM es),
+reach(a, b) AS (
+  SELECT src, dst FROM u UNION SELECT r.a, u.dst FROM reach r JOIN u ON r.b = u.src
+),
+cc AS (
+  SELECT vv.id, least(vv.id, coalesce(min(r.b), vv.id)) AS cc_id
+  FROM (SELECT DISTINCT id FROM v) vv LEFT JOIN reach r ON vv.id = r.a
+  GROUP BY vv.id
+),
+roots AS (SELECT DISTINCT cc_id AS id FROM cc),
+bwalk(id, d) AS (SELECT id, 0 FROM roots UNION
+                 SELECT u.dst, w.d + 1 FROM bwalk w JOIN u ON w.id = u.src
+                 WHERE w.d < 64),
+md AS (SELECT id, min(d) AS d FROM bwalk GROUP BY id),
+su AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM es WHERE src <> dst),
+odd AS (
+  SELECT count(*) AS n_odd FROM su
+  JOIN md ma ON su.a = ma.id JOIN md mb ON su.b = mb.id
+  WHERE ma.d % 2 = mb.d % 2
+)
+SELECT (SELECT count(*) FROM roots) AS n_components,
+       odd.n_odd AS n_odd_edges, odd.n_odd = 0 AS is_bipartite
+FROM odd
+"""
+
 
 WCC_SQL = f"""
 WITH RECURSIVE {_E}, {_VERTS},
@@ -2382,6 +2423,7 @@ def oracle_sql() -> dict[str, str]:
         "eigencentrality": EIGEN_SQL,
         "dag_reach": DAG_REACH_SQL,
         "dag_layers": DAG_LAYERS_SQL,
+        "bipartiteness": BIPARTITE_SQL,
         "degree_hist": DEGREE_HIST_SQL,
         "harmonic": HARMONIC_SQL,
         "dist_quantiles": DIST_QUANTILES_SQL,

@@ -81,3 +81,50 @@ def connected_components(
     result = lab.select("id", F.col("label").alias("cc_id"))
     runner.release("edges")
     return result
+
+
+def bipartiteness(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    max_hops: int = 64,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Bipartiteness check of the undirected simple view via BFS-forest
+    parity: one row (n_components, n_odd_edges, is_bipartite).
+
+    A graph is bipartite iff some (equivalently any) BFS forest has no
+    edge joining two vertices of equal layer parity. Roots = each WCC's
+    canonical min-id label (connected_components), so every vertex is
+    reached by exactly one root; all component BFS waves advance in ONE
+    keyed frontier (operators/centrality.py::landmark_distances over the
+    symmetrized edges). Odd edges are counted, not just detected — the
+    count is the natural 'how far from bipartite' report number and
+    makes the all-integer DuckDB oracle exact.
+    """
+    from .centrality import landmark_distances
+    from .kcore import undirected_edges
+
+    und = undirected_edges(edges)
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    cc = connected_components(spark, edges, runner=runner)
+    roots = cc.select(F.col("cc_id").alias("id")).distinct()
+    dist = landmark_distances(spark, sym, roots, max_hops=max_hops)
+    parity = dist.select("id", (F.col("dist") % 2).alias("p"))
+    odd = (
+        und.join(parity.select(F.col("id").alias("a"), F.col("p").alias("pa")), "a")
+        .join(parity.select(F.col("id").alias("b"), F.col("p").alias("pb")), "b")
+        .where(F.col("pa") == F.col("pb"))
+    )
+    n_comp = roots.agg(F.count(F.lit(1)).alias("n_components"))
+    return (
+        odd.agg(F.count(F.lit(1)).alias("n_odd_edges"))
+        .crossJoin(F.broadcast(n_comp))
+        .select(
+            "n_components",
+            "n_odd_edges",
+            (F.col("n_odd_edges") == 0).alias("is_bipartite"),
+        )
+    )

@@ -589,3 +589,18 @@ def test_companion_empty_and_degenerate_inputs(spark):
     empty_v = spark.createDataFrame([], "id long")
     assert hits(spark, loops.limit(0), empty_v).count() == 0
     assert salsa(spark, loops.limit(0), empty_v).count() == 0
+
+
+def test_bipartiteness(spark):
+    from detectingscc_spark.operators.components import bipartiteness
+
+    # even cycle + a path: bipartite
+    bip = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1), (5, 6)], ["src", "dst"])
+    r = bipartiteness(spark, bip).collect()[0]
+    assert (r["n_components"], r["n_odd_edges"], r["is_bipartite"]) == (2, 0, True)
+
+    # odd cycle: not bipartite; exactly one odd edge under BFS layering
+    odd = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    r = bipartiteness(spark, odd).collect()[0]
+    assert r["is_bipartite"] is False and r["n_odd_edges"] >= 1
+    assert r["n_components"] == 1
