@@ -254,3 +254,77 @@ def test_transitive_closure_random(spark, es):
         want |= {(s, d) for d in seen}
     got = {(r["src"], r["dst"]) for r in transitive_closure(spark, g).collect()}
     assert got == want, es
+
+
+@given(_GRAPH)
+@_SETTINGS
+def test_link_prediction_vs_naive_random(spark, es):
+    """Full-ranking parity vs a naive python oracle on random digraphs:
+    same pair set, same common counts, same scores (6dp)."""
+    import math
+
+    from detectingscc_spark.operators.linkpred import link_prediction
+
+    g = spark.createDataFrame(es, "src long, dst long")
+    und = {(min(a, b), max(a, b)) for a, b in es if a != b}
+    nbr = {}
+    for a, b in und:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    want = {}
+    ids = sorted(nbr)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if (a, b) in und:
+                continue
+            com = nbr[a] & nbr[b]
+            if not com:
+                continue
+            aa = sum(1.0 / math.log(len(nbr[x])) for x in com)
+            jac = len(com) / (len(nbr[a]) + len(nbr[b]) - len(com))
+            want[(a, b)] = (len(com), round(jac, 6), round(aa, 6))
+
+    got = {
+        (r["a"], r["b"]): (r["common"], r["jaccard6"], r["adamic_adar6"])
+        for r in link_prediction(spark, g, top_k=10_000).collect()
+    }
+    assert set(got) == set(want), es
+    for k in want:
+        assert got[k][0] == want[k][0], (k, es)
+        assert abs(got[k][1] - want[k][1]) < 2e-6, (k, es)
+        assert abs(got[k][2] - want[k][2]) < 2e-6, (k, es)
+
+
+@given(_GRAPH)
+@_SETTINGS
+def test_salsa_vs_numpy_random(spark, es):
+    """SALSA numpy parity on random digraphs with duplicate edges and
+    self-loops (multiplicity counts in degrees and pushes)."""
+    import numpy as np
+
+    from detectingscc_spark.operators.hits import salsa
+
+    g = spark.createDataFrame(es, "src long, dst long")
+    ids = sorted({x for e in es for x in e})
+    v = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r["id"]: (r["auth"], r["hub"]) for r in salsa(spark, g, v, iters=5).collect()}
+
+    idx = {x: i for i, x in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for s_, d_ in es:
+        A[idx[s_], idx[d_]] += 1.0
+    od = A.sum(axis=1)
+    ind = A.sum(axis=0)
+    Wr = np.divide(A, od[:, None], out=np.zeros_like(A), where=od[:, None] > 0)
+    Wc = np.divide(A, ind[None, :], out=np.zeros_like(A), where=ind[None, :] > 0)
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(5):
+        a = Wr.T @ h
+        a /= a.sum()
+        h = Wc @ a
+        h /= h.sum()
+    for x in ids:
+        assert abs(got[x][0] - a[idx[x]]) < 1e-9, (x, es)
+        assert abs(got[x][1] - h[idx[x]]) < 1e-9, (x, es)
