@@ -10,11 +10,20 @@ no sqrt — so the DuckDB oracle (unrolled CTE chain in __spark_entry__)
 mirrors the arithmetic op-for-op and the final round(8) absorbs
 double-sum reordering, exactly the proven PageRank-oracle pattern.
 
-100 TB shape: two hash joins + two scalar aggs per iteration, frames are
-(id, score) only; the edge table is re-joined from its persisted
-partitioning each round (no growing lineage — scores checkpoint-free
-because each frame is 2 columns x |V|). Duplicate edges contribute
-multiplicity, matching the reference loader's keep-duplicates semantics
+100 TB shape + round-7 action halving: state between half-steps is the
+UN-normalized push (id, raw) — only vertices actually receiving score —
+plus its L1 total as a 1-row frame. The normalizer division raw/total
+rides INSIDE the next half-step's join as a broadcast scalar (the
+pagerank dangling-mass pattern), so each half-step is ONE driver action
+(the eager checkpoint of the raw push: one hash join + one map-side-
+partial agg over 2-column frames) instead of the round-6 two (raw push +
+materialized full-universe normalized frame). Arithmetic is unchanged
+bit-for-bit: s(u) = raw(u)/t is computed per edge row by the identical
+double division before entering the sum, vertices absent from the raw
+frame contributed exactly 0.0 before, and the full-universe
+coalesce(raw,0)/t frame is built once at the end instead of every
+half-step. Duplicate edges contribute multiplicity, matching the
+reference loader's keep-duplicates semantics
 (/root/reference/src/load.cpp:43).
 """
 
@@ -22,6 +31,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _normalized(v: DataFrame, raw: DataFrame, total: DataFrame, out: str) -> DataFrame:
+    """Full-universe normalized scores: coalesce(raw, 0)/t over verts."""
+    return (
+        v.join(raw, "id", "left")
+        .crossJoin(F.broadcast(total))
+        .select("id", (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("t")).alias(out))
+    )
 
 
 def hits(
@@ -35,6 +53,8 @@ def hits(
     Vertices with no in-edges have auth 0 (and symmetrically for hub);
     both columns are defined over the full vertex universe `verts(id)`.
     """
+    if iters < 1:
+        raise ValueError(f"hits: iters must be >= 1, got {iters}")
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
@@ -45,38 +65,38 @@ def hits(
         # ANSI mode constant-folds the 1/n seed at plan time, so an empty
         # universe must short-circuit rather than build a 1/0 literal
         return v.select("id", F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub"))
-    hub = v.select("id", (F.lit(1.0) / F.lit(float(n))).alias("s"))
 
-    def _push(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
-        """One matrix application + L1 normalization: score flows from
-        `key_in` endpoints onto `key_out` endpoints. The raw push is
-        eagerly localCheckpoint-ed because BOTH the normalizer and the
-        result read it — without materialization each half-step would
-        evaluate its whole upstream twice, compounding across iterations
-        (measured 47.6s -> ~12s at sf0.01). Cost: 2 driver actions per
-        iteration, each a |V|-row frame."""
+    def _push(raw_prev: DataFrame, total_prev: DataFrame | None,
+              key_in: str, key_out: str):
+        """One matrix application: raw_out(v) = Σ_{edges} raw_prev(u)/t.
+        The division by the carried normalizer happens per edge row —
+        the identical double op the round-6 materialized-scores form
+        applied per vertex — so sums see bit-identical terms. Seed
+        half-step (total_prev None): scores are already normalized.
+        ONE driver action: the eager checkpoint of the raw push (the
+        normalizer and the next half-step both read it)."""
+        j = e.join(raw_prev.withColumnRenamed("id", key_in), key_in)
+        if total_prev is None:
+            s = F.col("raw")
+        else:
+            j = j.crossJoin(F.broadcast(total_prev))
+            s = F.col("raw") / F.col("t")
         raw = (
-            e.join(scores.withColumnRenamed("id", key_in), key_in)
-            .groupBy(F.col(key_out).alias("id"))
-            .agg(F.sum("s").alias("raw"))
+            j.groupBy(F.col(key_out).alias("id"))
+            .agg(F.sum(s).alias("raw"))
         ).localCheckpoint(eager=True)
         total = raw.agg(F.sum("raw").alias("t"))
-        return (
-            v.join(raw, "id", "left")
-            .crossJoin(F.broadcast(total))
-            .select(
-                "id",
-                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("t")).alias("s"),
-            )
-        )
+        return raw, total
 
-    auth = None
+    seed = v.select("id", (F.lit(1.0) / F.lit(float(n))).alias("raw"))
+    auth_raw = hub_raw = None
+    a_t = h_t = None
     for k in range(iters):
-        auth = _push(hub, "src", "dst")
-        hub = _push(auth, "dst", "src")
+        auth_raw, a_t = _push(hub_raw if k else seed, h_t if k else None, "src", "dst")
+        hub_raw, h_t = _push(auth_raw, a_t, "dst", "src")
     return (
-        auth.withColumnRenamed("s", "auth")
-        .join(hub.withColumnRenamed("s", "hub"), "id")
+        _normalized(v, auth_raw, a_t, "auth")
+        .join(_normalized(v, hub_raw, h_t, "hub"), "id")
         .select("id", "auth", "hub")
     )
 
@@ -90,9 +110,8 @@ def eigencentrality(
     after `iters` L1-normalized power iterations x ← A·x / ‖A·x‖₁ from
     the uniform start. L1 (not L2) keeps every op a sum/division so the
     unrolled-CTE DuckDB oracle mirrors it exactly (the HITS pattern —
-    same 100 TB shape: one hash join + one scalar agg per iteration over
-    2-column frames, raw push eagerly checkpointed because both the
-    normalizer and the result read it)."""
+    same carried-normalizer half-step shape: one hash join + one scalar
+    agg per iteration over 2-column frames, one driver action each)."""
     from .kcore import undirected_edges
 
     und = undirected_edges(edges)
@@ -104,23 +123,21 @@ def eigencentrality(
     if n == 0:
         # see hits(): the 1/n seed would constant-fold to 1/0 under ANSI
         return v.select("id", F.lit(0.0).alias("score"))
-    x = v.select("id", (F.lit(1.0) / F.lit(float(n))).alias("s"))
+    raw = v.select("id", (F.lit(1.0) / F.lit(float(n))).alias("raw"))
+    total = None
     for k in range(iters):
+        j = sym.join(raw.withColumnRenamed("id", "u"), "u")
+        if total is None:
+            s = F.col("raw")
+        else:
+            j = j.crossJoin(F.broadcast(total))
+            s = F.col("raw") / F.col("t")
         raw = (
-            sym.join(x.withColumnRenamed("id", "u"), "u")
-            .groupBy(F.col("w").alias("id"))
-            .agg(F.sum("s").alias("raw"))
+            j.groupBy(F.col("w").alias("id"))
+            .agg(F.sum(s).alias("raw"))
         ).localCheckpoint(eager=True)
         total = raw.agg(F.sum("raw").alias("t"))
-        x = (
-            v.join(raw, "id", "left")
-            .crossJoin(F.broadcast(total))
-            .select(
-                "id",
-                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("t")).alias("s"),
-            )
-        )
-    return x.withColumnRenamed("s", "score")
+    return _normalized(v, raw, total, "score")
 
 
 def salsa(
@@ -135,13 +152,15 @@ def salsa(
     the raw adjacency power iteration. (id, auth, hub) after `iters`
     L1-normalized sync iterations over the vertex universe `verts(id)`.
 
-    Same 100 TB shape as hits(): the degree weights are folded into the
-    edge table ONCE (w_out = 1/outdeg(src), w_in = 1/indeg(dst) — the
-    pagerank edge-fold trick), then each half-step is one hash join +
-    one agg; the raw push is eagerly checkpointed because the normalizer
-    and the result both read it. Duplicate edges keep multiplicity in
-    both the degree and the push, mirroring hits().
+    Same carried-normalizer half-step shape as hits(): the degree
+    weights are folded into the edge table ONCE (w_out = 1/outdeg(src),
+    w_in = 1/indeg(dst) — the pagerank edge-fold trick), then each
+    half-step is one hash join + one agg of (raw/t)*w, one driver
+    action. Duplicate edges keep multiplicity in both the degree and the
+    push, mirroring hits().
     """
+    if iters < 1:
+        raise ValueError(f"salsa: iters must be >= 1, got {iters}")
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
@@ -163,30 +182,33 @@ def salsa(
     if n == 0:
         # see hits(): the 1/n seed would constant-fold to 1/0 under ANSI
         return v.select("id", F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub"))
-    hub = v.select("id", (F.lit(1.0) / F.lit(float(n))).alias("s"))
 
-    def _wpush(scores: DataFrame, key_in: str, key_out: str, w: str) -> DataFrame:
+    def _wpush(raw_prev: DataFrame, total_prev: DataFrame | None,
+               key_in: str, key_out: str, w: str):
+        """Weighted half-step: the per-edge term is (raw/t)*w — the same
+        div-then-mul order as the round-6 materialized s*w form."""
+        j = ew.join(raw_prev.withColumnRenamed("id", key_in), key_in)
+        if total_prev is None:
+            s = F.col("raw")
+        else:
+            j = j.crossJoin(F.broadcast(total_prev))
+            s = F.col("raw") / F.col("t")
         raw = (
-            ew.join(scores.withColumnRenamed("id", key_in), key_in)
-            .groupBy(F.col(key_out).alias("id"))
-            .agg(F.sum(F.col("s") * F.col(w)).alias("raw"))
+            j.groupBy(F.col(key_out).alias("id"))
+            .agg(F.sum(s * F.col(w)).alias("raw"))
         ).localCheckpoint(eager=True)
         total = raw.agg(F.sum("raw").alias("t"))
-        return (
-            v.join(raw, "id", "left")
-            .crossJoin(F.broadcast(total))
-            .select(
-                "id",
-                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("t")).alias("s"),
-            )
-        )
+        return raw, total
 
-    auth = None
+    seed = v.select("id", (F.lit(1.0) / F.lit(float(n))).alias("raw"))
+    auth_raw = hub_raw = None
+    a_t = h_t = None
     for k in range(iters):
-        auth = _wpush(hub, "src", "dst", "w_out")
-        hub = _wpush(auth, "dst", "src", "w_in")
+        auth_raw, a_t = _wpush(hub_raw if k else seed, h_t if k else None,
+                               "src", "dst", "w_out")
+        hub_raw, h_t = _wpush(auth_raw, a_t, "dst", "src", "w_in")
     return (
-        auth.withColumnRenamed("s", "auth")
-        .join(hub.withColumnRenamed("s", "hub"), "id")
+        _normalized(v, auth_raw, a_t, "auth")
+        .join(_normalized(v, hub_raw, h_t, "hub"), "id")
         .select("id", "auth", "hub")
     )
