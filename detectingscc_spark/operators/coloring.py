@@ -21,6 +21,31 @@ giant SCC first — we skip that and let color classes handle it: the max
 root's class IS the giant SCC's closure, and pointer-jumping keeps the
 propagation rounds logarithmic.
 
+Superstep fixed-cost discipline (round-7, guide §2.4 — the leg was
+job-count-bound, ~85 ms of scheduling+planning per Spark job at any
+scale):
+  * the round-entry residual refresh is skipped in round 1 (every vertex
+    is active — a no-op filter) and the post-trim refresh is skipped
+    when trim1 removed nothing;
+  * trim1's endpoint probes are semi-joins against the RAW src/dst
+    columns — the old per-side `.distinct()` bought nothing (the hash
+    build dedups) and cost an exchange each;
+  * each propagation tick applies pointer jumps FIRST, against the
+    already-MATERIALIZED color frame (cheap broadcast self-lookups), and
+    then one pull-max — the old pull-then-jump self-join re-evaluated
+    the whole un-materialized pull subtree twice per tick (Spark does
+    not reuse subplans) and sort-merge-joined it. Two jumps per tick
+    triple path-shortening per round; any trajectory reaches the same
+    unique fixpoint (max forward-reachable id), detected by the same
+    monotone color-sum observation;
+  * the class-confined BFS keeps the visited set as a lazy union of
+    materialized per-hop fragments (one tick per hop, compacted every
+    8 hops — operators/bfs.py discipline) instead of re-materializing
+    the whole visited set every hop;
+  * retired vertices accumulate as materialized `done` fragments unioned
+    once at the end (the scc.py emit_done discipline) instead of
+    rewriting the whole done set every round.
+
 Same output contract as operators/scc.py; equivalence tested.
 """
 
@@ -42,6 +67,7 @@ def scc_coloring(
     max_rounds: int = 64,
     max_prop_iters: int = 200,
     max_bfs_hops: int = 10_000,
+    prop_jumps: int = 2,
 ) -> DataFrame:
     runner = runner or SuperstepRunner(spark, run_id="scc_coloring")
     E = _canonical_edges(edges)
@@ -51,7 +77,23 @@ def scc_coloring(
 
     active, a_cnt = runner.tick("active", verts.select("id"))
     re, _ = runner.tick("re", E, detach=False)
-    done, _ = runner.tick("done", spark.createDataFrame([], "id long, scc_id long"), count=False)
+
+    done_frags: list[DataFrame] = []
+
+    def emit_done(new_rows: DataFrame) -> None:
+        frag, _ = runner.tick(
+            f"done_{len(done_frags)}", new_rows.select("id", "scc_id"),
+            count=False, detach=False,
+        )
+        done_frags.append(frag)
+
+    def all_done() -> DataFrame:
+        out = done_frags[0]
+        for frag in done_frags[1:]:
+            out = out.unionByName(frag)
+        return out
+
+    emit_done(spark.createDataFrame([], "id long, scc_id long"))
 
     rnd = 0
     while a_cnt > 0:
@@ -61,75 +103,85 @@ def scc_coloring(
         if rnd > max_rounds:
             raise RuntimeError("coloring SCC did not converge")
 
-        # residual edges between active vertices
-        av = _bc(active, a_cnt)
-        re, re_cnt = runner.tick(
-            "re",
-            re.join(av.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(av.withColumnRenamed("id", "dst"), "dst", "left_semi"),
-            detach=False,
-        )
+        # residual edges between active vertices (round 1: every vertex is
+        # active, the filter is a no-op — skip the tick entirely)
+        if rnd > 1:
+            av = _bc(active, a_cnt)
+            re, re_cnt = runner.tick(
+                "re",
+                re.join(av.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(av.withColumnRenamed("id", "dst"), "dst", "left_semi"),
+                detach=False,
+            )
 
-        # trim1 once (vSlota style)
-        has_out = re.select(F.col("src").alias("id")).distinct()
-        has_in = re.select(F.col("dst").alias("id")).distinct()
+        # trim1 once (vSlota style): semi-probe the raw endpoint columns
+        # (no distinct — the semi-join hash build dedups for free)
         survivors, s_cnt = runner.tick(
-            "active_next", active.join(has_out, "id", "left_semi").join(has_in, "id", "left_semi")
+            "active_next",
+            active.join(re.select(F.col("src").alias("id")), "id", "left_semi")
+            .join(re.select(F.col("dst").alias("id")), "id", "left_semi"),
         )
         if s_cnt < a_cnt:
-            trimmed = active.join(survivors.select("id"), "id", "left_anti")
-            done, _ = runner.tick(
-                "done",
-                done.unionByName(trimmed.select("id", F.col("id").alias("scc_id"))),
-                count=False,
+            emit_done(
+                active.join(survivors.select("id"), "id", "left_anti")
+                .select("id", F.col("id").alias("scc_id"))
             )
         runner.promote("active_next", "active")
+        trimmed = s_cnt < a_cnt
         active, a_cnt = survivors, s_cnt
         if a_cnt == 0:
             break
-        re, re_cnt = runner.tick(
-            "re",
-            re.join(_bc(active, a_cnt).withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(_bc(active, a_cnt).withColumnRenamed("id", "dst"), "dst", "left_semi"),
-            detach=False,
-        )
+        if trimmed:
+            re, re_cnt = runner.tick(
+                "re",
+                re.join(_bc(active, a_cnt).withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(_bc(active, a_cnt).withColumnRenamed("id", "dst"), "dst", "left_semi"),
+                detach=False,
+            )
 
         # ---- max-color propagation with pointer jumping ---------------
-        # color(v) = max id forward-reachable; pull-max over out-edges,
-        # then jump color <- color(color) (both monotone increasing)
+        # color(v) = max id forward-reachable. Each tick: `prop_jumps`
+        # pointer jumps against the MATERIALIZED previous colors (pure
+        # broadcast lookups, no recompute), then one pull-max over
+        # out-edges. Monotone increasing; sum fixpoint = converged.
         from pyspark.sql import Observation
 
         col_df, _ = runner.tick("color", active.select("id", F.col("id").alias("color")))
-        prev = None  # colors monotone non-decreasing; sum fixpoint = converged
+        prev = None
         converged = False
         for it in range(max_prop_iters):
             runner.bump("FWD_iterations")
+            cur = col_df
+            for _j in range(prop_jumps):
+                # lookup side is the detached (stats-reset) color frame —
+                # hint the broadcast from the driver-known row count
+                cur = cur.join(
+                    _bc(col_df.select(F.col("id").alias("color"), F.col("color").alias("cc")), a_cnt),
+                    "color",
+                    "left",
+                ).select(
+                    "id",
+                    F.greatest(F.col("color"), F.coalesce(F.col("cc"), F.col("color"))).alias("color"),
+                )
             nbr = (
-                re.join(col_df.select(F.col("id").alias("dst"), F.col("color").alias("nc")), "dst")
+                re.join(_bc(cur.select(F.col("id").alias("dst"), F.col("color").alias("nc")), a_cnt), "dst")
                 .groupBy("src")
                 .agg(F.max("nc").alias("nmax"))
                 .select(F.col("src").alias("id"), "nmax")
             )
-            c1 = col_df.join(nbr, "id", "left").select(
+            c1 = cur.join(_bc(nbr, a_cnt), "id", "left").select(
                 "id", F.greatest(F.col("color"), F.coalesce(F.col("nmax"), F.col("color"))).alias("color")
-            )
-            c2 = c1.alias("a").join(
-                c1.select(F.col("id").alias("color"), F.col("color").alias("cc")).alias("b"),
-                "color",
-                "left",
-            ).select(
-                F.col("id"),
-                F.greatest(F.col("color"), F.coalesce(F.col("cc"), F.col("color"))).alias("color"),
             )
             obs = Observation(f"col_{rnd}_{it}")
             col_df, _ = runner.tick(
-                "color", c2.observe(obs, F.sum("color").alias("s")), count=False
+                "color", c1.observe(obs, F.sum("color").alias("s")), count=False
             )
-            cur = obs.get["s"]
-            if cur == prev:
+            cur_sum = obs.get["s"]
+            if cur_sum == prev:
                 converged = True
+                prev_iters = it + 1
                 break
-            prev = cur
+            prev = cur_sum
         if not converged:
             # stale colors would let the class-confined BFS split an SCC
             # silently; fail loudly like the FB engine's max_rounds guard
@@ -139,14 +191,21 @@ def scc_coloring(
 
         # ---- forward BFS from roots within color class -> SCCs --------
         ce = (
-            re.join(col_df.select(F.col("id").alias("src"), F.col("color").alias("sc")), "src")
-            .join(col_df.select(F.col("id").alias("dst"), F.col("color").alias("dc")), "dst")
+            re.join(_bc(col_df.select(F.col("id").alias("src"), F.col("color").alias("sc")), a_cnt), "src")
+            .join(_bc(col_df.select(F.col("id").alias("dst"), F.col("color").alias("dc")), a_cnt), "dst")
             .where(F.col("sc") == F.col("dc"))
             .select("src", "dst")
         )
         ce, _ = runner.tick("ce", ce, detach=False)
-        vis, v_cnt = runner.tick("vis", col_df.where(F.col("color") == F.col("id")).select("id"), detach=False)
-        front, f_cnt = vis, v_cnt
+        # visited set = compacted base + materialized per-hop fragments
+        # (lazy union, one tick per hop — operators/bfs.py discipline)
+        seed, v_cnt = runner.tick(
+            "vis_0", col_df.where(F.col("color") == F.col("id")).select("id"), detach=False
+        )
+        COMPACT_EVERY = 8
+        frag_slots = ["vis_0"]
+        vis_view = seed
+        front, f_cnt = seed, v_cnt
         hops = 0
         while f_cnt > 0:
             hops += 1
@@ -157,20 +216,28 @@ def scc_coloring(
                 ce.join(_bc(front.withColumnRenamed("id", "src"), f_cnt), "src")
                 .select(F.col("dst").alias("id"))
                 .distinct()
-                .join(vis, "id", "left_anti")
+                .join(vis_view, "id", "left_anti")
             )
-            front, f_cnt = runner.tick("front", new, detach=False)
+            front, f_cnt = runner.tick(f"vis_{hops}", new, detach=False)
             if f_cnt:
-                vis, _ = runner.tick("vis", vis.unionByName(front), count=False, detach=False)
+                frag_slots.append(f"vis_{hops}")
+                vis_view = vis_view.unionByName(front)
+                if len(frag_slots) >= COMPACT_EVERY:
+                    vis_view, _ = runner.tick(
+                        "vis_base", vis_view, count=False, detach=False
+                    )
+                    # newest fragment stays alive: it is the live frontier
+                    for s in frag_slots[:-1]:
+                        runner.release(s)
+                    frag_slots = frag_slots[-1:]
 
         # retired = visited; scc label = min member id per color class
-        retired = vis.join(col_df, "id")
+        retired = vis_view.join(_bc(col_df, a_cnt), "id")
         reps = retired.groupBy("color").agg(F.min("id").alias("scc_id"))
-        new_done = retired.join(_bc(reps, None), "color").select("id", "scc_id")
-        done, _ = runner.tick("done", done.unionByName(new_done), count=False)
-        active, a_cnt = runner.tick("active", active.join(vis, "id", "left_anti"))
-        runner.log("coloring_round", round=rnd, active=a_cnt)
-        for s in ("color", "ce", "vis", "front"):
+        emit_done(retired.join(_bc(reps, a_cnt), "color").select("id", "scc_id"))
+        active, a_cnt = runner.tick("active", active.join(vis_view, "id", "left_anti"))
+        runner.log("coloring_round", round=rnd, active=a_cnt, prop_iters=prev_iters, bfs_hops=hops)
+        for s in ("color", "ce", "vis_base", *frag_slots):
             runner.release(s)
 
-    return done.select(F.col("id").cast("long"), F.col("scc_id").cast("long"))
+    return all_done().select(F.col("id").cast("long"), F.col("scc_id").cast("long"))
