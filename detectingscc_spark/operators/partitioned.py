@@ -75,16 +75,22 @@ def scc_partitioned(
         vp = verts.join(
             partitions.select(F.col("id").cast("long"), F.col("part").cast("long")), "id", "left"
         ).select("id", F.coalesce("part", F.col("id") % n_parts).alias("part"))
+        # ---- phase 1: partition-local SCC (Tarjan per subgraph, Arrow) ----
+        local_edges = (
+            E.join(vp.select(F.col("id").alias("src"), F.col("part").alias("sp")), "src")
+            .join(vp.select(F.col("id").alias("dst"), F.col("part").alias("dp")), "dst")
+            .where(F.col("sp") == F.col("dp"))
+            .select(F.col("sp").alias("part"), "src", "dst")
+        )
     else:
+        # default hash partitioning is a PURE FUNCTION of the id — derive
+        # the part labels as expressions instead of two label-table joins
+        # (same rows, two exchanges fewer; the METIS-label path above
+        # keeps the join form because its labels are data)
         vp = verts.select("id", (F.col("id") % n_parts).cast("long").alias("part"))
-
-    # ---- phase 1: partition-local SCC (Tarjan per subgraph, Arrow) ----
-    local_edges = (
-        E.join(vp.select(F.col("id").alias("src"), F.col("part").alias("sp")), "src")
-        .join(vp.select(F.col("id").alias("dst"), F.col("part").alias("dp")), "dst")
-        .where(F.col("sp") == F.col("dp"))
-        .select(F.col("sp").alias("part"), "src", "dst")
-    )
+        local_edges = E.where(
+            (F.col("src") % n_parts) == (F.col("dst") % n_parts)
+        ).select((F.col("src") % n_parts).cast("long").alias("part"), "src", "dst")
 
     # graceful degradation: a part too big for one Arrow batch is exempted
     # from the local phase (identity labels) and left to the global engine.
@@ -139,6 +145,11 @@ def scc_partitioned(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # materialize the contraction once: the global engine's setup reads
+    # its edge input several times (canonicalize, vertex derivation,
+    # round-1 residual) and would otherwise re-run the two label joins
+    # + distinct per read
+    condensed = condensed.localCheckpoint(eager=True)
     cond_verts = local.select(F.col("lbl").alias("id")).distinct()
     global_scc = strongly_connected_components(spark, condensed, cond_verts, **scc_kwargs)
 
