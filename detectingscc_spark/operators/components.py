@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.superstep import SuperstepRunner
+from .scc import _bc
 
 
 def connected_components(
@@ -35,7 +36,9 @@ def connected_components(
         .distinct()
     )
     und = E.unionByName(E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    und, _ = runner.tick("edges", und.repartition("src"), detach=False)
+    # partitioned by the pull-join key (dst): the per-iteration join then
+    # never reshuffles the edge table, whatever strategy the planner picks
+    und, _ = runner.tick("edges", und.repartition("dst"), detach=False)
 
     verts = und.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
@@ -44,34 +47,42 @@ def connected_components(
     from pyspark.sql import Observation
 
     lab = verts.select("id", F.col("id").alias("label"))
-    lab, _ = runner.tick("label", lab)
+    lab, n_verts = runner.tick("label", lab)
     prev_sum = None  # labels monotone non-increasing; sum fixpoint = converged
 
     for i in range(max_iters):
         runner.superstep = i + 1
         runner.bump("iterations")
+        # pointer jumps FIRST, as broadcast self-lookups against the
+        # MATERIALIZED previous labels (broadcast-hinted from the
+        # driver-known vertex count — the detached frame's stats are
+        # reset by design). The old post-pull self-join re-evaluated the
+        # whole un-materialized pull subtree twice per tick; any
+        # refinement order reaches the same unique fixpoint (component
+        # min id), detected by the same monotone label-sum observation.
+        cur = lab
+        for _j in range(2):
+            cur = cur.join(
+                _bc(lab.select(F.col("id").alias("label"), F.col("label").alias("ll")), n_verts),
+                "label",
+                "left",
+            ).select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"),
+            )
         nbr = (
-            und.join(lab.select(F.col("id").alias("dst"), F.col("label").alias("nl")), "dst")
+            und.join(_bc(cur.select(F.col("id").alias("dst"), F.col("label").alias("nl")), n_verts), "dst")
             .groupBy("src")
             .agg(F.min("nl").alias("nmin"))
             .select(F.col("src").alias("id"), "nmin")
         )
-        l1 = lab.join(nbr, "id", "left").select(
+        l1 = cur.join(_bc(nbr, n_verts), "id", "left").select(
             "id", F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label")
-        )
-        # pointer jumping: label <- min(label, label(label))
-        l2 = l1.alias("a").join(
-            l1.select(F.col("id").alias("label"), F.col("label").alias("ll")).alias("b"),
-            "label",
-            "left",
-        ).select(
-            F.col("id"),
-            F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"),
         )
         # convergence sum rides as an observed metric of the tick's own
         # materialization job — one driver action per iteration, not three
         obs = Observation(f"cc_{i}")
-        lab, _ = runner.tick("label", l2.observe(obs, F.sum("label").alias("s")), count=False)
+        lab, _ = runner.tick("label", l1.observe(obs, F.sum("label").alias("s")), count=False)
         new_sum = obs.get["s"]
         runner.log("cc_iter", label_sum=int(new_sum))
         runner.maybe_checkpoint({"label": lab})

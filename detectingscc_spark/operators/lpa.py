@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.superstep import SuperstepRunner
+from .scc import _bc
 
 
 def label_propagation(
@@ -42,20 +43,24 @@ def label_propagation(
         verts = verts.union(vertices.select(F.col("id").cast("long"))).distinct()
 
     lab = verts.select("id", F.col("id").alias("label"))
-    lab, _ = runner.tick("label", lab)
+    lab, n_verts = runner.tick("label", lab)
 
     for i in range(rounds):
         runner.superstep = i + 1
         runner.bump("iterations")
+        # label side broadcast-hinted from the driver-known vertex count
+        # (the detached frame's stats are reset by design); the und frame
+        # is partitioned by dst, which also satisfies both vote aggs'
+        # clustering, so a broadcast-joined round runs exchange-free
         votes = (
-            und.join(lab.select(F.col("id").alias("src"), F.col("label").alias("nl")), "src")
+            und.join(_bc(lab.select(F.col("id").alias("src"), F.col("label").alias("nl")), n_verts), "src")
             .groupBy("dst", "nl")
             .agg(F.count("*").alias("c"))
             .groupBy("dst")
             .agg(F.expr("max_by(nl, struct(c, -nl))").alias("winner"))
             .select(F.col("dst").alias("id"), "winner")
         )
-        new_lab = lab.join(votes, "id", "left").select(
+        new_lab = lab.join(_bc(votes, n_verts), "id", "left").select(
             "id", F.coalesce(F.col("winner"), F.col("label")).alias("label")
         )
         lab, _ = runner.tick("label", new_lab, count=False)

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.superstep import SuperstepRunner
+from .scc import _bc
 
 
 def pagerank(
@@ -44,16 +45,22 @@ def pagerank(
     verts = E.select(F.col("src").alias("id")).union(E.select(F.col("dst").alias("id"))).distinct()
     if vertices is not None:
         verts = verts.union(vertices.select(F.col("id").cast("long"))).distinct()
+    outdeg = E.groupBy("src").count().select(F.col("src").alias("id"), F.col("count").alias("od"))
+    # fold the dangling marker into the vertex frame ONCE: the per-
+    # iteration dangling-mass sum becomes a filter over the rank state
+    # (same rows in the same stream order as the old semi-join — the
+    # summed doubles are identical) instead of a join per iteration
+    verts = verts.join(
+        outdeg.select("id", F.lit(True).alias("has_out")), "id", "left"
+    ).select("id", F.coalesce(F.col("has_out"), F.lit(False)).alias("has_out"))
+    verts = verts.select("id", (~F.col("has_out")).alias("dang"))
     verts, n = runner.tick("verts", verts, detach=False)
 
-    outdeg = E.groupBy("src").count().select(F.col("src").alias("id"), F.col("count").alias("od"))
     # fold outdeg into the edge table once: each edge carries 1/outdeg(src)
     Ew = E.join(outdeg, E["src"] == outdeg["id"]).select("src", "dst", (F.lit(1.0) / F.col("od")).alias("w"))
     Ew, _ = runner.tick("edges", Ew.repartition("src"), detach=False)
-    dangling_ids = verts.join(outdeg, "id", "left_anti")
-    dangling_ids, _ = runner.tick("dangling", dangling_ids, detach=False)
 
-    rank = verts.select("id", (F.lit(1.0) / F.lit(n)).alias("rank"))
+    rank = verts.select("id", (F.lit(1.0) / F.lit(n)).alias("rank"), "dang")
     rank, _ = runner.tick("rank", rank)
 
     iters = fixed_iters if fixed_iters is not None else max_iters
@@ -63,17 +70,20 @@ def pagerank(
         # dangling mass folded into the same plan as a broadcast 1-row
         # cross join -> ONE job per iteration instead of three
         dm = (
-            rank.join(dangling_ids, "id", "left_semi")
+            rank.where(F.col("dang"))
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
+        # rank side broadcast-hinted from the driver-known vertex count;
+        # past the limit the join falls back to shuffling ONLY the rank
+        # side (Ew stays partitioned by the join key src)
         contrib = (
-            Ew.join(rank.withColumnRenamed("id", "src"), "src")
+            Ew.join(_bc(rank.select("id", "rank"), n).withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
             .select(F.col("dst").alias("id"), "c")
         )
         new_rank = (
-            verts.join(contrib, "id", "left")
+            verts.join(_bc(contrib, n), "id", "left")
             .crossJoin(F.broadcast(dm))
             .select(
                 "id",
@@ -82,12 +92,14 @@ def pagerank(
                     + F.lit(damping)
                     * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
                 ).alias("rank"),
+                "dang",
             )
         )
         new_rank, _ = runner.tick("rank_next", new_rank, count=(fixed_iters is None))
         if fixed_iters is None:
             delta = (
-                new_rank.join(rank.withColumnRenamed("rank", "prev"), "id")
+                new_rank.select("id", "rank")
+                .join(rank.select("id", F.col("rank").alias("prev")), "id")
                 .agg(F.max(F.abs(F.col("rank") - F.col("prev"))))
                 .first()[0]
             )
@@ -101,7 +113,7 @@ def pagerank(
             rank = new_rank
         runner.maybe_checkpoint({"rank": rank})
     result = rank.select("id", "rank")
-    for s in ("verts", "edges", "dangling"):
+    for s in ("verts", "edges"):
         runner.release(s)
     return result
 
@@ -149,36 +161,42 @@ def personalized_pagerank(
     n_src = S.count()
     if n_src == 0:
         raise ValueError("personalized_pagerank: no sources present in the graph")
-    # p(v) folded into the vertex frame once
-    vp = verts.join(S.withColumn("in_s", F.lit(1)), "id", "left").select(
-        "id", (F.coalesce(F.col("in_s"), F.lit(0)) / F.lit(float(n_src))).alias("p")
-    )
-    vp, _ = runner.tick("verts", vp, detach=False)
-
     outdeg = E.groupBy("src").count().select(F.col("src").alias("id"), F.col("count").alias("od"))
+    # p(v) and the dangling marker folded into the vertex frame once
+    # (the pagerank() round-7 fold: the per-iteration dangling-mass sum
+    # becomes a filter over the rank state instead of a join)
+    vp = (
+        verts.join(S.withColumn("in_s", F.lit(1)), "id", "left")
+        .join(outdeg.select("id", F.lit(True).alias("has_out")), "id", "left")
+        .select(
+            "id",
+            (F.coalesce(F.col("in_s"), F.lit(0)) / F.lit(float(n_src))).alias("p"),
+            F.coalesce(~F.col("has_out"), F.lit(True)).alias("dang"),
+        )
+    )
+    vp, n_v = runner.tick("verts", vp, detach=False)
+
     Ew = E.join(outdeg, E["src"] == outdeg["id"]).select("src", "dst", (F.lit(1.0) / F.col("od")).alias("w"))
     Ew, _ = runner.tick("edges", Ew.repartition("src"), detach=False)
-    dangling_ids = vp.select("id").join(outdeg, "id", "left_anti")
-    dangling_ids, _ = runner.tick("dangling", dangling_ids, detach=False)
 
-    rank = vp.select("id", F.col("p").alias("rank"))
+    rank = vp.select("id", F.col("p").alias("rank"), "dang")
     rank, _ = runner.tick("rank", rank)
 
     for i in range(fixed_iters):
         runner.superstep = i + 1
         runner.bump("iterations")
         dm = (
-            rank.join(dangling_ids, "id", "left_semi")
+            rank.where(F.col("dang"))
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         contrib = (
-            Ew.join(rank.withColumnRenamed("id", "src"), "src")
+            Ew.join(_bc(rank.select("id", "rank"), n_v).withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
             .select(F.col("dst").alias("id"), "c")
         )
         new_rank = (
-            vp.join(contrib, "id", "left")
+            vp.join(_bc(contrib, n_v), "id", "left")
             .crossJoin(F.broadcast(dm))
             .select(
                 "id",
@@ -187,12 +205,13 @@ def personalized_pagerank(
                     + F.lit(damping)
                     * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") * F.col("p"))
                 ).alias("rank"),
+                "dang",
             )
         )
         new_rank, _ = runner.tick("rank_next", new_rank, count=False)
         runner.promote("rank_next", "rank")
         rank = new_rank
     result = rank.select("id", "rank")
-    for s in ("verts", "edges", "dangling"):
+    for s in ("verts", "edges"):
         runner.release(s)
     return result

@@ -361,13 +361,17 @@ def strongly_connected_components(
             break
 
         # ---- pivot election: per-range argmax of indeg*outdeg ---------
-        outd = re.groupBy("src").count().select(F.col("src").alias("id"), F.col("count").alias("od"))
-        ind = re.groupBy("dst").count().select(F.col("dst").alias("id"), F.col("count").alias("inde"))
-        degs = outd.join(ind, "id", "full").select(
-            "id", (F.coalesce("od", F.lit(0)) * F.coalesce("inde", F.lit(0))).alias("prod")
+        # both degrees in ONE tagged-union agg (1 exchange) instead of
+        # two groupBys + a full join (3): a one-sided endpoint has the
+        # other degree 0, so the product matches the old coalesce form
+        degs = (
+            re.select(F.col("src").alias("id"), F.lit(1).alias("o"))
+            .unionByName(re.select(F.col("dst").alias("id"), F.lit(0).alias("o")))
+            .groupBy("id")
+            .agg((F.sum("o") * F.sum(1 - F.col("o"))).alias("prod"))
         )
         pivots = (
-            active.join(degs, "id", "left")
+            active.join(_bc(degs, a_cnt), "id", "left")
             .select("id", "range", F.coalesce("prod", F.lit(0)).alias("prod"))
             .groupBy("range")
             .agg(F.expr("max_by(id, struct(prod, -id))").alias("pivot"))
@@ -738,8 +742,10 @@ def _trim1_fixpoint(runner, re, re_cnt, active, a_cnt, emit_done, max_iters=4):
             )
         else:
             cur = re0
-        has_out = cur.select(F.col("src").alias("id")).distinct()
-        has_in = cur.select(F.col("dst").alias("id")).distinct()
+        # raw endpoint columns: the semi-join hash build dedups, so the
+        # old per-side .distinct() only added an exchange each
+        has_out = cur.select(F.col("src").alias("id"))
+        has_in = cur.select(F.col("dst").alias("id"))
         survivors = active.join(has_out, "id", "left_semi").join(has_in, "id", "left_semi")
         survivors, s_cnt = runner.tick("active_next", survivors)
         trimmed_cnt = a_cnt - s_cnt
@@ -821,38 +827,48 @@ def _decompose(runner, re, active, a_cnt, iters):
     hash-min label propagation + pointer jumping (reference's 'WCC
     decomposition', /root/reference/src/scc_WCC.cu:829-840 /
     scc_kernels.cu:496-536). Any partial refinement is correct: an SCC is
-    weakly connected, so min-labels never split an SCC across ranges."""
+    weakly connected, so min-labels never split an SCC across ranges.
+
+    Round-7 shape: edges are partitioned by the pull-join key (dst) so
+    the per-iteration SMJ fallback never reshuffles them; the pointer
+    jumps run FIRST, as broadcast self-lookups against the MATERIALIZED
+    previous labels (the old post-pull self-join re-evaluated the whole
+    un-materialized pull subtree twice per tick); label-side joins are
+    broadcast-hinted from the driver-known active count (the detached
+    frame's stats are reset by design)."""
     und = re.select("src", "dst").unionByName(
         re.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    und, _ = runner.tick("dec_edges", und.repartition("src"), truncate=False, detach=False)
+    und, _ = runner.tick("dec_edges", und.repartition("dst"), truncate=False, detach=False)
 
     from pyspark.sql import Observation
 
     lab, _ = runner.tick("dec_lab", active.select("id", F.col("id").alias("label")))
     prev_sum = None  # labels are monotone non-increasing; sum fixpoint = converged
     for i in range(iters):
+        cur = lab
+        for _j in range(2):
+            cur = cur.join(
+                _bc(lab.select(F.col("id").alias("label"), F.col("label").alias("ll")), a_cnt),
+                "label",
+                "left",
+            ).select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"),
+            )
         nbr = (
-            und.join(lab.select(F.col("id").alias("dst"), F.col("label").alias("nl")), "dst")
+            und.join(_bc(cur.select(F.col("id").alias("dst"), F.col("label").alias("nl")), a_cnt), "dst")
             .groupBy("src")
             .agg(F.min("nl").alias("nmin"))
             .select(F.col("src").alias("id"), "nmin")
         )
-        lab1 = lab.join(nbr, "id", "left").select(
+        lab1 = cur.join(_bc(nbr, a_cnt), "id", "left").select(
             "id", F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label")
-        )
-        l2 = lab1.alias("a").join(
-            lab1.select(F.col("id").alias("label"), F.col("label").alias("ll")).alias("b"),
-            "label",
-            "left",
-        ).select(
-            F.col("id"),
-            F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"),
         )
         # convergence sum rides along as an observed metric of the tick's
         # own materialization job — no separate agg action per iteration
         obs = Observation(f"dec_{i}")
-        lab, _ = runner.tick("dec_lab", l2.observe(obs, F.sum("label").alias("s")), count=False)
+        lab, _ = runner.tick("dec_lab", lab1.observe(obs, F.sum("label").alias("s")), count=False)
         new_sum = obs.get["s"]
         if new_sum == prev_sum:
             break
