@@ -74,8 +74,18 @@ def write_lsh_index(
     the probe side is self-contained."""
     b = lsh_buckets_multi(emb, n_planes, n_tables, seed, dims)
     rows = b.join(_vec_frame(emb), "vec_id").select("tbl", "bucket", "vec_id", "v", "norm")
+    # pin the writer parallelism: an un-sized repartition lets AQE
+    # coalesce the tiny pre-write shuffle to ~1 task, which then creates
+    # all n_tables * 2^n_planes partition-dir files SERIALLY (~11 ms of
+    # open/close each — measured 24 s of a 30 s build at fixture scale).
+    # Hashing the SAME keys over more tasks spreads file creation without
+    # changing the layout: each (tbl, bucket) still lands in exactly one
+    # task -> one file per bucket directory.
+    n_dirs = n_tables * (1 << n_planes)
+    spark = emb.sparkSession
+    n_write = min(n_dirs, max(32, spark.sparkContext.defaultParallelism * 4))
     (
-        rows.repartition("tbl", "bucket")
+        rows.repartition(n_write, "tbl", "bucket")
         .write.mode("overwrite")
         .partitionBy("tbl", "bucket")
         .parquet(path)
@@ -90,14 +100,35 @@ def pruned_lsh_scan(
     over the two partition columns, so Catalyst resolves it against
     partition metadata (static partition pruning) — zero data files
     outside the probed directories are opened."""
+    import os
+
     by_tbl: dict[int, set[int]] = {}
     for t, bkt in probe_pairs:
         by_tbl.setdefault(int(t), set()).add(int(bkt))
-    idx = spark.read.parquet(path)
     if not by_tbl:
         # no probes (query ids matched no embedding rows): an empty
         # result with the index schema, not a reduce() TypeError
-        return idx.where(F.lit(False))
+        return spark.read.parquet(path).where(F.lit(False))
+    if os.path.isdir(path):
+        # local artifact: hand the reader ONLY the probed bucket
+        # directories (basePath keeps the partition columns), so file
+        # listing touches |probes| directories instead of every bucket
+        # of every table — the listing job was most of the probe's wall
+        # at fixture scale. Pairs whose bucket holds no vectors have no
+        # directory and are skipped — they contribute no rows either way.
+        dirs = [
+            d
+            for t, bs in sorted(by_tbl.items())
+            for b in sorted(bs)
+            if os.path.isdir(d := os.path.join(path, f"tbl={t}", f"bucket={b}"))
+        ]
+        if not dirs:
+            return spark.read.parquet(path).where(F.lit(False))
+        idx = spark.read.option("basePath", path).parquet(*dirs)
+    else:
+        # non-local path (object store): keep the single-root read — the
+        # literal partition predicate below still prunes statically
+        idx = spark.read.parquet(path)
     pred = reduce(
         lambda a, b: a | b,
         [
