@@ -380,6 +380,10 @@ def strongly_connected_components(
         runner.log("pivots", ranges=p_cnt)
 
         # ---- FW + BW BFS from all pivots, confined to their range -----
+        # state stays LAZY: it is a broadcast join of two materialized
+        # frames, and every consumer (the BFS seed tick, the final
+        # assembled-state tick) materializes its own derivation — a
+        # dedicated state tick was one more job per round for nothing
         state = active.join(
             _bc(pivots, p_cnt).select(F.col("range"), F.col("pivot")), "range", "left"
         ).select(
@@ -388,7 +392,6 @@ def strongly_connected_components(
             F.coalesce(F.col("id") == F.col("pivot"), F.lit(False)).alias("fw"),
             F.coalesce(F.col("id") == F.col("pivot"), F.lit(False)).alias("bw"),
         )
-        state, _ = runner.tick("state", state)
 
         if expand == "csr":
             state, hops = _bfs_csr(runner, spark, re, state, max_bfs_hops)
@@ -415,8 +418,7 @@ def strongly_connected_components(
         runner.log("update", active=a_cnt)
 
         runner.maybe_checkpoint({"active": active, "done": all_done(), "re": re})
-        for name in ("pivots", "state"):
-            runner.release(name)
+        runner.release("pivots")
 
     runner.maybe_checkpoint({"active": active, "done": all_done(), "re": re}, force=True)
     return all_done().select(F.col("id").cast("long"), F.col("scc_id").cast("long"))

@@ -97,26 +97,48 @@ def clustering_coefficient(spark: SparkSession, edges: DataFrame) -> DataFrame:
     one join + codegen arithmetic on exact integers (rounded to 6
     decimals for engine-portable comparison).
     """
-    und, _ = _oriented(edges)
+    und, o = _oriented(edges)
     deg = (
         und.select(F.col("a").alias("id"))
         .unionAll(und.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
     )
-    tpv = triangle_count_per_vertex(spark, edges)
-    return tpv.join(deg, "id").select(
-        "id",
-        "deg",
-        F.when(
-            F.col("deg") >= 2,
-            F.round(
-                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)),
-                6,
-            ),
+    # triangle credits built directly on THIS derivation's oriented frame
+    # instead of calling triangle_count_per_vertex (which re-derived und,
+    # the degrees and a separate vertex universe from scratch). The old
+    # tpv-inner-join universe was exactly deg's id set, and tpv's
+    # coalesce-0 is reproduced on the left join below, so rows and
+    # values are identical.
+    o = o.persist()
+    e1 = o.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    e2 = o.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    wedges = e1.join(e2, "v").select("u", "v", "w")
+    closing = o.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    tris = wedges.join(closing, ["u", "w"]).select("u", "v", "w")
+    credits = (
+        tris.select(F.col("u").alias("id"))
+        .unionAll(tris.select(F.col("v").alias("id")))
+        .unionAll(tris.select(F.col("w").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(credits, "id", "left")
+        .select("id", "deg", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"))
+        .select(
+            "id",
+            "deg",
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cc"),
         )
-        .otherwise(F.lit(0.0))
-        .alias("cc"),
     )
 
 
