@@ -76,7 +76,7 @@ def scc_coloring(
         verts = verts.union(vertices.select(F.col("id").cast("long"))).distinct()
 
     active, a_cnt = runner.tick("active", verts.select("id"))
-    re, _ = runner.tick("re", E, detach=False)
+    re, re_cnt = runner.tick("re", E, detach=False)
 
     done_frags: list[DataFrame] = []
 
@@ -146,6 +146,24 @@ def scc_coloring(
         # out-edges. Monotone increasing; sum fixpoint = converged.
         from pyspark.sql import Observation
 
+        from .scc import BROADCAST_ROW_LIMIT, _part_target
+
+        # while the color frame is broadcast-able every pull join is
+        # broadcast-hash, so a PERSISTED copy of the residual partitioned
+        # by the pull's AGG key (src) makes each propagation tick's
+        # aggregation exchange-free (persist, unlike localCheckpoint,
+        # preserves partitioning and the broadcast join carries it
+        # through). Past the broadcast regime the pull is a shuffle join
+        # on dst and the re frame is used as-is.
+        if a_cnt <= BROADCAST_ROW_LIMIT:
+            prop_re, _ = runner.tick(
+                "prop_re",
+                re.repartition(_part_target(re_cnt), "src"),
+                truncate=False, count=False, detach=False,
+            )
+        else:
+            prop_re = re
+
         col_df, _ = runner.tick("color", active.select("id", F.col("id").alias("color")))
         prev = None
         converged = False
@@ -164,7 +182,7 @@ def scc_coloring(
                     F.greatest(F.col("color"), F.coalesce(F.col("cc"), F.col("color"))).alias("color"),
                 )
             nbr = (
-                re.join(_bc(cur.select(F.col("id").alias("dst"), F.col("color").alias("nc")), a_cnt), "dst")
+                prop_re.join(_bc(cur.select(F.col("id").alias("dst"), F.col("color").alias("nc")), a_cnt), "dst")
                 .groupBy("src")
                 .agg(F.max("nc").alias("nmax"))
                 .select(F.col("src").alias("id"), "nmax")
@@ -188,6 +206,7 @@ def scc_coloring(
             raise RuntimeError(
                 f"color propagation did not converge in {max_prop_iters} iterations"
             )
+        runner.log("color_prop_done", iters=prev_iters)
 
         # ---- forward BFS from roots within color class -> SCCs --------
         ce = (
@@ -196,7 +215,12 @@ def scc_coloring(
             .where(F.col("sc") == F.col("dc"))
             .select("src", "dst")
         )
-        ce, _ = runner.tick("ce", ce, detach=False)
+        # persisted + partitioned by the hop dedup key (dst): while the
+        # frontier broadcasts, each BFS hop's distinct is exchange-free
+        ce, _ = runner.tick(
+            "ce", ce.repartition(_part_target(re_cnt), "dst"),
+            truncate=False, count=False, detach=False,
+        )
         # visited set = compacted base + materialized per-hop fragments
         # (lazy union, one tick per hop — operators/bfs.py discipline)
         seed, v_cnt = runner.tick(
@@ -231,13 +255,14 @@ def scc_coloring(
                         runner.release(s)
                     frag_slots = frag_slots[-1:]
 
+        runner.log("class_bfs_done", hops=hops)
         # retired = visited; scc label = min member id per color class
         retired = vis_view.join(_bc(col_df, a_cnt), "id")
         reps = retired.groupBy("color").agg(F.min("id").alias("scc_id"))
         emit_done(retired.join(_bc(reps, a_cnt), "color").select("id", "scc_id"))
         active, a_cnt = runner.tick("active", active.join(vis_view, "id", "left_anti"))
         runner.log("coloring_round", round=rnd, active=a_cnt, prop_iters=prev_iters, bfs_hops=hops)
-        for s in ("color", "ce", "vis_base", *frag_slots):
+        for s in ("color", "ce", "vis_base", "prop_re", *frag_slots):
             runner.release(s)
 
     return all_done().select(F.col("id").cast("long"), F.col("scc_id").cast("long"))

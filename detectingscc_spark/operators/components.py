@@ -36,18 +36,29 @@ def connected_components(
         .distinct()
     )
     und = E.unionByName(E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    # partitioned by the pull-join key (dst): the per-iteration join then
-    # never reshuffles the edge table, whatever strategy the planner picks
-    und, _ = runner.tick("edges", und.repartition("dst"), detach=False)
 
-    verts = und.select(F.col("src").alias("id")).distinct()
+    verts = E.select(F.col("src").alias("id")).union(E.select(F.col("dst").alias("id"))).distinct()
     if vertices is not None:
         verts = verts.union(vertices.select(F.col("id").cast("long"))).distinct()
 
     from pyspark.sql import Observation
 
+    from .scc import BROADCAST_ROW_LIMIT, _part_target
+
     lab = verts.select("id", F.col("id").alias("label"))
     lab, n_verts = runner.tick("label", lab)
+
+    # In the broadcast regime (label frame under the broadcast limit) the
+    # pull join is broadcast-hash, so partitioning the PERSISTED edge
+    # frame by the pull's AGG key (src) carries through the join and
+    # makes every iteration's aggregation exchange-free (persist — unlike
+    # localCheckpoint — preserves partitioning). Past it the pull is a
+    # sort-merge join on dst, where dst partitioning saves reshuffling
+    # the edge table every iteration instead.
+    und_key = "src" if n_verts <= BROADCAST_ROW_LIMIT else "dst"
+    und, _ = runner.tick(
+        "edges", und.repartition(und_key), truncate=False, count=False, detach=False
+    )
     prev_sum = None  # labels monotone non-increasing; sum fixpoint = converged
 
     for i in range(max_iters):

@@ -36,14 +36,26 @@ def label_propagation(
         .distinct()
     )
     und = E.unionByName(E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    und, _ = runner.tick("edges", und.repartition("dst"), detach=False)
 
-    verts = und.select(F.col("src").alias("id")).distinct()
+    verts = E.select(F.col("src").alias("id")).union(E.select(F.col("dst").alias("id"))).distinct()
     if vertices is not None:
         verts = verts.union(vertices.select(F.col("id").cast("long"))).distinct()
 
     lab = verts.select("id", F.col("id").alias("label"))
     lab, n_verts = runner.tick("label", lab)
+
+    # broadcast regime: the vote join is broadcast-hash, so a PERSISTED
+    # edge frame partitioned by the vote aggs' key (dst) makes both
+    # per-round aggregations exchange-free (persist preserves
+    # partitioning; localCheckpoint does not). Past the broadcast limit
+    # the join is sort-merge on src — partition by src there so rounds
+    # never reshuffle the edge table.
+    from .scc import BROADCAST_ROW_LIMIT
+
+    und_key = "dst" if n_verts <= BROADCAST_ROW_LIMIT else "src"
+    und, _ = runner.tick(
+        "edges", und.repartition(und_key), truncate=False, count=False, detach=False
+    )
 
     for i in range(rounds):
         runner.superstep = i + 1

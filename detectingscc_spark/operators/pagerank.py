@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.superstep import SuperstepRunner
-from .scc import _bc
+from .scc import BROADCAST_ROW_LIMIT, _bc
 
 
 def pagerank(
@@ -56,9 +56,16 @@ def pagerank(
     verts = verts.select("id", (~F.col("has_out")).alias("dang"))
     verts, n = runner.tick("verts", verts, detach=False)
 
-    # fold outdeg into the edge table once: each edge carries 1/outdeg(src)
+    # fold outdeg into the edge table once: each edge carries 1/outdeg(src).
+    # Broadcast regime (rank frame under the limit): the contrib join is
+    # broadcast-hash, so the PERSISTED edge frame partitioned by the
+    # contrib agg's key (dst) makes the per-iteration aggregation
+    # exchange-free (persist preserves partitioning; localCheckpoint does
+    # not). Past the limit the join is sort-merge on src — partition by
+    # src there so iterations shuffle only the rank side.
     Ew = E.join(outdeg, E["src"] == outdeg["id"]).select("src", "dst", (F.lit(1.0) / F.col("od")).alias("w"))
-    Ew, _ = runner.tick("edges", Ew.repartition("src"), detach=False)
+    ew_key = "dst" if n <= BROADCAST_ROW_LIMIT else "src"
+    Ew, _ = runner.tick("edges", Ew.repartition(ew_key), truncate=False, count=False, detach=False)
 
     rank = verts.select("id", (F.lit(1.0) / F.lit(n)).alias("rank"), "dang")
     rank, _ = runner.tick("rank", rank)
@@ -177,7 +184,10 @@ def personalized_pagerank(
     vp, n_v = runner.tick("verts", vp, detach=False)
 
     Ew = E.join(outdeg, E["src"] == outdeg["id"]).select("src", "dst", (F.lit(1.0) / F.col("od")).alias("w"))
-    Ew, _ = runner.tick("edges", Ew.repartition("src"), detach=False)
+    # same partitioning policy as pagerank(): agg key (dst) in the
+    # broadcast regime, join key (src) past it
+    ew_key = "dst" if n_v <= BROADCAST_ROW_LIMIT else "src"
+    Ew, _ = runner.tick("edges", Ew.repartition(ew_key), truncate=False, count=False, detach=False)
 
     rank = vp.select("id", F.col("p").alias("rank"), "dang")
     rank, _ = runner.tick("rank", rank)

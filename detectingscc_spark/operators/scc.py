@@ -399,6 +399,7 @@ def strongly_connected_components(
             state, hops = _bfs_join(
                 runner, re, re_cnt, state, max_bfs_hops,
                 unroll=bfs_unroll, hub_degree_threshold=hub_degree_threshold,
+                n_active=a_cnt,
             )
         runner.log("bfs", hops=hops, mode=expand)
 
@@ -459,7 +460,7 @@ def _part_target(rows: int | None, spark=None, bytes_per_row: int = 24) -> int:
 
 
 def _bfs_join(runner, re_f, re_cnt, state, max_bfs_hops, unroll=1,
-              hub_degree_threshold=5_000_000):
+              hub_degree_threshold=5_000_000, n_active=None):
     """Single-job bidirectional frontier BFS.
 
     FW and BW edges are unioned into ONE frame tagged `dir` (0=fwd edge
@@ -486,10 +487,22 @@ def _bfs_join(runner, re_f, re_cnt, state, max_bfs_hops, unroll=1,
     ed = re_f.select(F.lit(0).alias("dir"), F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
         re_f.select(F.lit(1).alias("dir"), F.col("dst").alias("u"), F.col("src").alias("v"))
     )
-    # broadcast-hash hops need no key partitioning; size the cached frame
-    # by bytes so every per-hop scan costs O(data) tasks, not O(cores)
+    # While the frontier stays broadcast-able (bounded by the active
+    # count), every hop's joins are broadcast-hash and the only exchange
+    # left is the frontier dedup — so partition the cached edge frame by
+    # the DEDUP key (dir, v): persist (unlike localCheckpoint) preserves
+    # the partitioning, the broadcast join and the select carry it
+    # through, and the per-hop distinct becomes exchange-free. Past the
+    # broadcast regime the hops are shuffle joins on (dir, u) and key
+    # partitioning buys nothing — keep the byte-sized coalesce so per-hop
+    # scans cost O(data) tasks.
+    n_parts_ed = _part_target(2 * re_cnt if re_cnt else None)
+    if n_active is not None and n_active <= BROADCAST_ROW_LIMIT:
+        ed = ed.repartition(n_parts_ed, "dir", "v")
+    else:
+        ed = ed.coalesce(n_parts_ed)
     ed, _ = runner.tick(
-        "bfs_ed", ed.coalesce(_part_target(2 * re_cnt if re_cnt else None)),
+        "bfs_ed", ed,
         truncate=False, count=False, detach=False,
     )
 
@@ -841,7 +854,12 @@ def _decompose(runner, re, active, a_cnt, iters):
     und = re.select("src", "dst").unionByName(
         re.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    und, _ = runner.tick("dec_edges", und.repartition("dst"), truncate=False, detach=False)
+    # broadcast regime: partition by the pull's AGG key (src) so the
+    # persisted frame's partitioning rides through the broadcast join and
+    # the per-iteration aggregation is exchange-free; past it, partition
+    # by the join key (dst) so iterations never reshuffle the edges
+    und_key = "src" if a_cnt <= BROADCAST_ROW_LIMIT else "dst"
+    und, _ = runner.tick("dec_edges", und.repartition(und_key), truncate=False, detach=False)
 
     from pyspark.sql import Observation
 
