@@ -31,6 +31,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .scc import BROADCAST_ROW_LIMIT
 
 
 def _normalized(v: DataFrame, raw: DataFrame, total: DataFrame, out: str) -> DataFrame:
@@ -40,6 +43,30 @@ def _normalized(v: DataFrame, raw: DataFrame, total: DataFrame, out: str) -> Dat
         .crossJoin(F.broadcast(total))
         .select("id", (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("t")).alias(out))
     )
+
+
+def _keyed_copies(e: DataFrame) -> dict[str, DataFrame]:
+    """Persist the edge table twice, hash-partitioned by src and by dst —
+    the dual forward/backward adjacency layout the reference itself
+    keeps. persist (unlike localCheckpoint) preserves partitioning, so a
+    half-step that broadcast-joins the score side and aggregates on the
+    copy's key plans its aggregation exchange-free; past the broadcast
+    regime the copy keyed by the JOIN key keeps the edge table from
+    reshuffling. Cost: the edge bytes twice, the CSR+CSC trade."""
+    out = {}
+    for key in ("src", "dst"):
+        c = e.repartition(key).persist(StorageLevel.MEMORY_AND_DISK)
+        c.write.format("noop").mode("overwrite").save()
+        out[key] = c
+    return out
+
+
+def _unpersist_copies(copies: dict[str, DataFrame]) -> None:
+    for c in copies.values():
+        try:
+            c.unpersist()
+        except Exception:
+            pass
 
 
 def hits(
@@ -66,6 +93,9 @@ def hits(
         # universe must short-circuit rather than build a 1/0 literal
         return v.select("id", F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub"))
 
+    ecopies = _keyed_copies(e)
+    bcast_mode = n <= BROADCAST_ROW_LIMIT
+
     def _push(raw_prev: DataFrame, total_prev: DataFrame | None,
               key_in: str, key_out: str):
         """One matrix application: raw_out(v) = Σ_{edges} raw_prev(u)/t.
@@ -74,8 +104,12 @@ def hits(
         applied per vertex — so sums see bit-identical terms. Seed
         half-step (total_prev None): scores are already normalized.
         ONE driver action: the eager checkpoint of the raw push (the
-        normalizer and the next half-step both read it)."""
-        j = e.join(raw_prev.withColumnRenamed("id", key_in), key_in)
+        normalizer and the next half-step both read it). The edge copy
+        keyed by the AGG key makes the aggregation exchange-free while
+        the score side broadcasts; past that, the JOIN-key copy keeps
+        the edge table from reshuffling."""
+        ek = ecopies[key_out] if bcast_mode else ecopies[key_in]
+        j = ek.join(raw_prev.withColumnRenamed("id", key_in), key_in)
         if total_prev is None:
             s = F.col("raw")
         else:
@@ -94,6 +128,9 @@ def hits(
     for k in range(iters):
         auth_raw, a_t = _push(hub_raw if k else seed, h_t if k else None, "src", "dst")
         hub_raw, h_t = _push(auth_raw, a_t, "dst", "src")
+    # safe to release: the result plan reads only v and the checkpointed
+    # raw frames, never the edge copies
+    _unpersist_copies(ecopies)
     return (
         _normalized(v, auth_raw, a_t, "auth")
         .join(_normalized(v, hub_raw, h_t, "hub"), "id")
@@ -123,6 +160,13 @@ def eigencentrality(
     if n == 0:
         # see hits(): the 1/n seed would constant-fold to 1/0 under ANSI
         return v.select("id", F.lit(0.0).alias("score"))
+    # persist the symmetrized table once (it was re-derived — distinct +
+    # union — every iteration), keyed by the agg key in the broadcast
+    # regime so each iteration's aggregation is exchange-free, by the
+    # join key past it
+    sym_key = "w" if n <= BROADCAST_ROW_LIMIT else "u"
+    sym = sym.repartition(sym_key).persist(StorageLevel.MEMORY_AND_DISK)
+    sym.write.format("noop").mode("overwrite").save()
     raw = v.select("id", (F.lit(1.0) / F.lit(float(n))).alias("raw"))
     total = None
     for k in range(iters):
@@ -137,6 +181,10 @@ def eigencentrality(
             .agg(F.sum(s).alias("raw"))
         ).localCheckpoint(eager=True)
         total = raw.agg(F.sum("raw").alias("t"))
+    try:
+        sym.unpersist()
+    except Exception:
+        pass
     return _normalized(v, raw, total, "score")
 
 
@@ -177,17 +225,22 @@ def salsa(
             (F.lit(1.0) / F.col("od")).alias("w_out"),
             (F.lit(1.0) / F.col("ind")).alias("w_in"),
         )
-    ).localCheckpoint(eager=True)
+    )
     n = v.count()
     if n == 0:
         # see hits(): the 1/n seed would constant-fold to 1/0 under ANSI
         return v.select("id", F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub"))
+    ecopies = _keyed_copies(ew)
+    bcast_mode = n <= BROADCAST_ROW_LIMIT
 
     def _wpush(raw_prev: DataFrame, total_prev: DataFrame | None,
                key_in: str, key_out: str, w: str):
         """Weighted half-step: the per-edge term is (raw/t)*w — the same
-        div-then-mul order as the round-6 materialized s*w form."""
-        j = ew.join(raw_prev.withColumnRenamed("id", key_in), key_in)
+        div-then-mul order as the round-6 materialized s*w form. Edge
+        copy choice: agg key in the broadcast regime, join key past it
+        (see _keyed_copies)."""
+        ek = ecopies[key_out] if bcast_mode else ecopies[key_in]
+        j = ek.join(raw_prev.withColumnRenamed("id", key_in), key_in)
         if total_prev is None:
             s = F.col("raw")
         else:
@@ -207,6 +260,7 @@ def salsa(
         auth_raw, a_t = _wpush(hub_raw if k else seed, h_t if k else None,
                                "src", "dst", "w_out")
         hub_raw, h_t = _wpush(auth_raw, a_t, "dst", "src", "w_in")
+    _unpersist_copies(ecopies)
     return (
         _normalized(v, auth_raw, a_t, "auth")
         .join(_normalized(v, hub_raw, h_t, "hub"), "id")
