@@ -196,7 +196,11 @@ def main():
     if "total_prev" in inspect.getsource(hits_mod.hits):
         raw_prev = verts.select("id", (F.lit(1.0) / F.lit(float(n))).alias("raw")).localCheckpoint(eager=True)
         total_prev = raw_prev.agg(F.sum("raw").alias("t"))
-        j = E.join(raw_prev.withColumnRenamed("id", "src"), "src").crossJoin(F.broadcast(total_prev))
+        if "_keyed_copies" in inspect.getsource(hits_mod):
+            e_push = persisted(E.repartition("dst"))  # agg-key copy (broadcast regime)
+        else:
+            e_push = E
+        j = e_push.join(raw_prev.withColumnRenamed("id", "src"), "src").crossJoin(F.broadcast(total_prev))
         out["hits_halfstep"] = j.groupBy(F.col("dst").alias("id")).agg(
             F.sum(F.col("raw") / F.col("t")).alias("raw"))
     else:
