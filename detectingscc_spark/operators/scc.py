@@ -60,11 +60,15 @@ from pyspark.sql import functions as F
 from ..plans.superstep import SuperstepRunner
 
 BROADCAST_ROW_LIMIT = 1_500_000  # (dir,id) rows ~16B each -> <=24MB broadcast
-# anti-join build side (visited set) is monotonically GROWING: broadcasting
-# it means an O(|vis|) driver collect EVERY hop, so its cap is much lower —
-# past this the anti-join shuffles (AQE-sized), keeping data motion on the
-# executors where it belongs
-ANTI_BROADCAST_ROW_LIMIT = 300_000
+# anti-join build side (visited set) is monotonically GROWING; its cap
+# was 300k on the theory that the per-hop O(|vis|) driver collect is the
+# binding cost, but a round-7 order-alternated A/B at 4x bench scale
+# (941k edges, vis peaking ~800k rows) measured the shuffle anti-join it
+# falls back to — which sort-merges level AND vis every hop — ~10%
+# SLOWER end to end than broadcasting up to the same 24MB byte bound the
+# frontier broadcasts use. Past 1.5M rows the anti-join still shuffles
+# (AQE-sized), keeping data motion on the executors where it belongs.
+ANTI_BROADCAST_ROW_LIMIT = BROADCAST_ROW_LIMIT
 
 
 def _bc(df: DataFrame, cnt: int | None) -> DataFrame:
