@@ -150,9 +150,20 @@ def degree_assortativity(spark: SparkSession, edges: DataFrame) -> DataFrame:
     Numerics: with symmetrized pairs the x/y marginals coincide, so
     r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2) — every term an EXACT integer
     sum (decimal(38,0): no float accumulation order to disagree with
-    another engine), one double division + round(6) at the end. Null if
-    the graph is degree-regular (zero variance). One shuffle for the
-    degree agg, one for the edge-degree join, one scalar agg.
+    another engine), one double division + round(6) at the end. NaN if
+    the graph is degree-regular (den is cast to double before the
+    division, so zero variance yields 0.0/0.0 = NaN in both engines —
+    not NULL). One shuffle for the degree agg, one for the edge-degree
+    join, one scalar agg.
+
+    The symmetrized union is folded into the aggregation instead of
+    materializing both orientations (it duplicated the whole und⋈deg⋈deg
+    subtree — 10 parquet scans / 12 exchanges in the physical plan): per
+    canonical pair, n gains 2, Sx gains dx+dy, Sxy gains 2·dx·dy, and
+    Sxx gains dx²+dy². Every product is the same LONG multiply cast to
+    the same decimal(38,0) as before, and decimal sums are exact, so all
+    four terms — and therefore the final double division — are
+    bit-identical to the explicit-union form.
     """
     und, _ = _oriented(edges)
     deg = (
@@ -164,15 +175,15 @@ def degree_assortativity(spark: SparkSession, edges: DataFrame) -> DataFrame:
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("dx"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("dy"))
     pairs = und.join(da, "a").join(db, "b")
-    sym = pairs.select("dx", "dy").unionAll(
-        pairs.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
-    )
     d38 = "decimal(38,0)"
-    agg = sym.agg(
-        F.count("*").cast(d38).alias("n"),
-        F.sum(F.col("dx").cast(d38)).alias("sx"),
-        F.sum((F.col("dx") * F.col("dy")).cast(d38)).alias("sxy"),
-        F.sum((F.col("dx") * F.col("dx")).cast(d38)).alias("sxx"),
+    agg = pairs.agg(
+        (F.count("*") * 2).cast(d38).alias("n"),
+        F.sum(F.col("dx").cast(d38) + F.col("dy").cast(d38)).alias("sx"),
+        (F.sum((F.col("dx") * F.col("dy")).cast(d38)) * 2).cast(d38).alias("sxy"),
+        F.sum(
+            (F.col("dx") * F.col("dx")).cast(d38)
+            + (F.col("dy") * F.col("dy")).cast(d38)
+        ).alias("sxx"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
